@@ -1,0 +1,146 @@
+"""Per-splat preprocess pass: cull, project, cov2D, conic, radii, tile AABB.
+
+Parity target: cuda_rasterizer/forward.cu preprocessCUDA:156-268. On TPU
+this is a plain batched jnp pass — XLA fuses the whole thing; only the
+per-pixel blend needs a kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from . import sh as sh_ops
+from .covariance import compute_cov3d, compute_cov2d, conic_and_radius
+from .transforms import ndc_to_pix
+
+# Near-plane cull threshold (auxiliary.h in_frustum: p_view.z <= 0.2).
+NEAR_CULL_Z = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterCamera:
+    """Static+array camera description for rasterization.
+
+    ``w2c`` and ``proj`` are math-convention matrices (x_cam = W2C @ x_w);
+    ``full_proj = proj @ w2c``. W/H are static python ints (shape-defining).
+    """
+    w2c: jnp.ndarray         # [4,4]
+    proj: jnp.ndarray        # [4,4] perspective projection
+    width: int
+    height: int
+    tan_fovx: float
+    tan_fovy: float
+
+    @property
+    def focal_x(self) -> float:
+        return self.width / (2.0 * self.tan_fovx)
+
+    @property
+    def focal_y(self) -> float:
+        return self.height / (2.0 * self.tan_fovy)
+
+    @property
+    def cx(self) -> float:
+        # rasterizer_impl.cu:339 — principal point fixed at image center
+        return self.width * 0.5
+
+    @property
+    def cy(self) -> float:
+        return self.height * 0.5
+
+    @property
+    def full_proj(self) -> jnp.ndarray:
+        return self.proj @ self.w2c
+
+    @property
+    def cam_center(self) -> jnp.ndarray:
+        R = self.w2c[:3, :3]
+        t = self.w2c[:3, 3]
+        return -R.T @ t
+
+
+class ProcessedSplats(NamedTuple):
+    mean2d: jnp.ndarray       # [P,2] pixel coords
+    depth: jnp.ndarray        # [P] camera-space z
+    conic: jnp.ndarray        # [P,3] inverse 2D covariance (a,b,c)
+    radius: jnp.ndarray       # [P] float, 0 for culled
+    rgb: jnp.ndarray          # [P,3] view-dependent color (from SH or precomp)
+    visible: jnp.ndarray      # [P] bool (radius > 0 and in frustum)
+    rect_min: jnp.ndarray     # [P,2] int32 tile coords (x,y)
+    rect_max: jnp.ndarray     # [P,2] int32 tile coords exclusive
+    tiles_touched: jnp.ndarray  # [P] int32
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    cam: RasterCamera,
+    shs: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    tile_w: int = 128,
+    tile_h: int = 8,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> ProcessedSplats:
+    """Vectorized splat preprocess (forward.cu:156-268).
+
+    ``mean2d_offset`` is an optional [P,2] zero tensor added to the projected
+    pixel means — differentiate w.r.t. it to obtain the screen-space
+    gradients used for densification (the JAX analogue of the reference's
+    ``screenspace_points`` trick, gaussian_renderer/__init__.py:61-67).
+    """
+    # Frustum cull on camera-space depth
+    p_view = means3d @ cam.w2c[:3, :3].T + cam.w2c[:3, 3]
+    depth = p_view[..., 2]
+    in_front = depth > NEAR_CULL_Z
+
+    # Project to NDC -> pixels (transformPoint4x4 + ndc2Pix)
+    fp = cam.full_proj
+    hom = means3d @ fp[:3, :3].T + fp[:3, 3]
+    w = means3d @ fp[3, :3].T + fp[3, 3]
+    p_proj = hom / (w[..., None] + 1e-7)
+    mean2d = jnp.stack([ndc_to_pix(p_proj[..., 0], cam.width),
+                        ndc_to_pix(p_proj[..., 1], cam.height)], -1)
+    if mean2d_offset is not None:
+        mean2d = mean2d + mean2d_offset
+
+    # Covariances
+    cov3d = cov3d_precomp if cov3d_precomp is not None else compute_cov3d(
+        scales, quats, scale_modifier)
+    cov2d = compute_cov2d(means3d, cov3d, cam.w2c,
+                          cam.focal_x, cam.focal_y, cam.tan_fovx, cam.tan_fovy)
+    conic, radius, det_ok = conic_and_radius(cov2d)
+
+    # Tile AABB (auxiliary.h getRect), exclusive max
+    grid_x = (cam.width + tile_w - 1) // tile_w
+    grid_y = (cam.height + tile_h - 1) // tile_h
+    rmin_x = jnp.clip(((mean2d[..., 0] - radius) / tile_w).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((mean2d[..., 1] - radius) / tile_h).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((mean2d[..., 0] + radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((mean2d[..., 1] + radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y)
+    tiles = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+
+    visible = in_front & det_ok & (tiles > 0)
+    radius = jnp.where(visible, radius, 0.0)
+    tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
+
+    # Colors
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        assert shs is not None
+        dirs = means3d - cam.cam_center
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        rgb = sh_ops.sh_to_rgb(sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
+
+    return ProcessedSplats(
+        mean2d=mean2d, depth=depth, conic=conic, radius=radius, rgb=rgb,
+        visible=visible,
+        rect_min=jnp.stack([rmin_x, rmin_y], -1),
+        rect_max=jnp.stack([rmax_x, rmax_y], -1),
+        tiles_touched=tiles)

@@ -1,0 +1,244 @@
+"""Differentiable tile-based Gaussian rasterization (TPU-first, pure XLA path).
+
+Re-derivation of the reference CUDA renderer's sequential front-to-back
+alpha compositing (cuda_rasterizer/forward.cu renderCUDA:273-431) as an
+exactly-equivalent vectorized form:
+
+  For splats sorted front-to-back within a tile, with base mask
+  m_i = (power_i <= 0) & (alpha_i >= 1/255), the sticky early-termination
+  ("done" once T*(1-alpha) < 1e-4) is equivalent to the non-recursive mask
+      include_i = m_i  &  (Tcum_i >= 1e-4)
+  where Tcum_i = prod_{j<=i, m_j} (1 - alpha_j): the cumulative product is
+  monotonically non-increasing, so once it crosses the threshold it stays
+  below it — the first crossing index coincides with the sequential "done"
+  trigger, and every later splat is excluded either way. Contribution
+  weights are then w_i = include_i * alpha_i * Texcl_i and the final
+  transmittance for background blending is prod over included (1-alpha).
+
+This makes the blend a masked cumsum (log space) + channel matmul — MXU/VPU
+friendly — and fully autodiff-able: JAX's reverse-mode through this formul-
+ation computes the same gradients as the hand-written CUDA backward
+(backward.cu:400-678). A fused Pallas kernel with identical semantics lives
+in rasterize_pallas.py; this module is the reference implementation and the
+fallback, and hosts the binning + output assembly shared by both.
+
+Channel layout (config.h:15-20): 3 RGB + 3 language + 3 instance + 5 all_map
+(local normal xyz, alpha-constant 1, plane distance).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .binning import build_tile_lists, TileLists
+from .projection import RasterCamera, ProcessedSplats, preprocess
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    tile_w: int = 128           # lane-aligned tile width
+    tile_h: int = 8             # sublane-aligned tile height
+    max_tiles_per_splat: int = 32
+    chunk: int = 128            # splats blended per scan step
+    max_splats_per_tile: int = 4096  # per-tile list truncation (depth-sorted)
+    use_pallas: bool = False    # fused Pallas blend (rasterize_pallas.py)
+
+
+class RenderOutput(NamedTuple):
+    color: jnp.ndarray            # [3,H,W]
+    language: Optional[jnp.ndarray]   # [3,H,W] or None
+    instance: Optional[jnp.ndarray]   # [3,H,W] or None
+    all_map: Optional[jnp.ndarray]    # [5,H,W] or None
+    plane_depth: Optional[jnp.ndarray]  # [H,W] or None
+    final_T: jnp.ndarray          # [H,W]
+    radii: jnp.ndarray            # [P]
+    out_observe: jnp.ndarray      # [P] int32
+    visible: jnp.ndarray          # [P] bool
+
+
+def _tile_pixel_coords(grid_x: int, grid_y: int, tile_h: int, tile_w: int):
+    """Pixel (x, y) coordinates for every tile: two [n_tiles, tile_h*tile_w]
+    float arrays."""
+    n_tiles = grid_x * grid_y
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (t % grid_x) * tile_w
+    ty = (t // grid_x) * tile_h
+    ix = jnp.arange(tile_w, dtype=jnp.int32)
+    iy = jnp.arange(tile_h, dtype=jnp.int32)
+    px = (tx[:, None, None] + ix[None, None, :]).astype(jnp.float32)
+    py = (ty[:, None, None] + iy[None, :, None]).astype(jnp.float32)
+    npx = tile_h * tile_w
+    return (jnp.broadcast_to(px, (n_tiles, tile_h, tile_w)).reshape(n_tiles, npx),
+            jnp.broadcast_to(py, (n_tiles, tile_h, tile_w)).reshape(n_tiles, npx))
+
+
+def blend_tiles_xla(lists: TileLists, mean2d: jnp.ndarray, conic: jnp.ndarray,
+                    opacity: jnp.ndarray, channels: jnp.ndarray,
+                    grid_x: int, grid_y: int, cfg: RasterConfig):
+    """Front-to-back alpha compositing over per-tile depth-sorted lists.
+
+    Args:
+      channels: [P, C] per-splat blend payload (C channels, any layout).
+    Returns:
+      (accum [n_tiles, C, npx], final_T [n_tiles, npx],
+       observe [P] int32 pixel counts at T>0.5)
+    """
+    n_tiles = grid_x * grid_y
+    npx = cfg.tile_h * cfg.tile_w
+    P = mean2d.shape[0]
+    C = channels.shape[1]
+    CH = cfg.chunk
+    n_chunks = cfg.max_splats_per_tile // CH
+    list_len = lists.point_list.shape[0]
+
+    px, py = _tile_pixel_coords(grid_x, grid_y, cfg.tile_h, cfg.tile_w)
+
+    starts = lists.tile_starts
+    counts = lists.tile_counts
+    point_list = lists.point_list
+
+    def step(carry, ci):
+        T, done, accum, observe = carry
+        base = ci * CH + jnp.arange(CH, dtype=jnp.int32)        # [CH]
+        idx = starts[:, None] + base[None, :]                   # [n_tiles,CH]
+        in_range = base[None, :] < counts[:, None]
+        ids = point_list[jnp.clip(idx, 0, list_len - 1)]        # [n_tiles,CH]
+
+        xy = mean2d[ids]                                        # [n_tiles,CH,2]
+        co = conic[ids]                                         # [n_tiles,CH,3]
+        op = opacity[ids]                                       # [n_tiles,CH]
+        ch = channels[ids]                                      # [n_tiles,CH,C]
+
+        dx = xy[..., 0:1] - px[:, None, :]                      # [n_tiles,CH,npx]
+        dy = xy[..., 1:2] - py[:, None, :]
+        power = (-0.5 * (co[..., 0:1] * dx * dx + co[..., 2:3] * dy * dy)
+                 - co[..., 1:2] * dx * dy)
+        alpha = jnp.minimum(ALPHA_MAX, op[..., None] * jnp.exp(power))
+        m = in_range[..., None] & (power <= 0.0) & (alpha >= ALPHA_MIN)
+
+        log1m = jnp.where(m, jnp.log1p(-alpha), 0.0)
+        cum_incl = jnp.cumsum(log1m, axis=1)                    # over chunk splats
+        T_incl = T[:, None, :] * jnp.exp(cum_incl)
+        include = m & (T_incl >= T_EPS) & ~done[:, None, :]
+        T_excl = T[:, None, :] * jnp.exp(cum_incl - log1m)
+        w = jnp.where(include, alpha * T_excl, 0.0)             # [n_tiles,CH,npx]
+
+        accum = accum + jnp.einsum('tsc,tsp->tcp', ch, w,
+                                   preferred_element_type=jnp.float32)
+
+        obs = jnp.sum((include & (T_excl > 0.5)).astype(jnp.int32), axis=-1)
+        observe = observe.at[jnp.where(in_range, ids, P)].add(
+            jnp.where(in_range, obs, 0), mode='drop')
+
+        T = T * jnp.exp(jnp.sum(jnp.where(include, log1m, 0.0), axis=1))
+        done = done | jnp.any(m & (T_incl < T_EPS), axis=1)
+        return (T, done, accum, observe), None
+
+    init = (jnp.ones((n_tiles, npx), jnp.float32),
+            jnp.zeros((n_tiles, npx), jnp.bool_),
+            jnp.zeros((n_tiles, C, npx), jnp.float32),
+            jnp.zeros((P,), jnp.int32))
+    (T, _, accum, observe), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return accum, T, observe
+
+
+def _untile(img_tiles: jnp.ndarray, grid_x: int, grid_y: int,
+            tile_h: int, tile_w: int, H: int, W: int) -> jnp.ndarray:
+    """[n_tiles, C, npx] -> [C, H, W] (crop the tile-grid padding)."""
+    C = img_tiles.shape[1]
+    x = img_tiles.reshape(grid_y, grid_x, C, tile_h, tile_w)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(C, grid_y * tile_h, grid_x * tile_w)
+    return x[:, :H, :W]
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacity: jnp.ndarray,
+    cam: RasterCamera,
+    bg_color: jnp.ndarray,
+    shs: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    language_feature: Optional[jnp.ndarray] = None,
+    instance_feature: Optional[jnp.ndarray] = None,
+    all_map: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    cfg: RasterConfig = RasterConfig(),
+) -> RenderOutput:
+    """Full differentiable rasterization pass.
+
+    Mirrors diff_LangSurf_rasterization.GaussianRasterizer
+    (diff_LangSurf_rasterization/__init__.py:52-264): include_feature is
+    implied by language_feature/instance_feature being not-None, render_geo
+    by all_map being not-None.
+    """
+    H, W = cam.height, cam.width
+    grid_x = (W + cfg.tile_w - 1) // cfg.tile_w
+    grid_y = (H + cfg.tile_h - 1) // cfg.tile_h
+
+    proc = preprocess(means3d, scales, quats, cam, shs=shs, sh_degree=sh_degree,
+                      colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
+                      scale_modifier=scale_modifier, tile_w=cfg.tile_w,
+                      tile_h=cfg.tile_h, mean2d_offset=mean2d_offset)
+    lists = build_tile_lists(proc, grid_x, grid_y, cfg.max_tiles_per_splat)
+
+    parts = [proc.rgb]
+    if language_feature is not None:
+        parts.append(language_feature)
+    if instance_feature is not None:
+        parts.append(instance_feature)
+    if all_map is not None:
+        parts.append(all_map)
+    channels = jnp.concatenate(parts, axis=-1)
+
+    # Opacity of invisible splats is zeroed so padded/culled entries never
+    # contribute (they are also absent from tile lists).
+    op = jnp.where(proc.visible, opacity.reshape(-1), 0.0)
+
+    if cfg.use_pallas:
+        from .rasterize_pallas import blend_tiles_pallas
+        accum, T, observe = blend_tiles_pallas(
+            lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y, cfg)
+    else:
+        accum, T, observe = blend_tiles_xla(
+            lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y, cfg)
+
+    imgs = _untile(accum, grid_x, grid_y, cfg.tile_h, cfg.tile_w, H, W)
+    final_T = _untile(T[:, None, :], grid_x, grid_y, cfg.tile_h, cfg.tile_w, H, W)[0]
+
+    c0 = 0
+    color = imgs[c0:c0 + 3] + final_T[None] * bg_color[:, None, None]
+    c0 += 3
+    language = instance = out_all_map = plane_depth = None
+    if language_feature is not None:
+        language = imgs[c0:c0 + 3]
+        c0 += 3
+    if instance_feature is not None:
+        instance = imgs[c0:c0 + 3]
+        c0 += 3
+    if all_map is not None:
+        out_all_map = imgs[c0:c0 + 5]
+        # plane depth via per-pixel ray intersection (forward.cu:425-429)
+        xs = (jnp.arange(W, dtype=jnp.float32) - cam.cx) / cam.focal_x
+        ys = (jnp.arange(H, dtype=jnp.float32) - cam.cy) / cam.focal_y
+        denom = (out_all_map[0] * xs[None, :] + out_all_map[1] * ys[:, None]
+                 + out_all_map[2] + 1e-8)
+        plane_depth = out_all_map[4] / -denom
+
+    return RenderOutput(color=color, language=language, instance=instance,
+                        all_map=out_all_map, plane_depth=plane_depth,
+                        final_T=final_T, radii=proc.radius,
+                        out_observe=observe, visible=proc.visible)

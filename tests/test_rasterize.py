@@ -1,0 +1,274 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langscenex_tpu.ops.projection import RasterCamera, preprocess
+from langscenex_tpu.ops.binning import build_tile_lists
+from langscenex_tpu.ops.rasterize import (RasterConfig, rasterize,
+                                          blend_tiles_xla, ALPHA_MIN)
+from langscenex_tpu.ops import transforms as tf
+from naive_raster import naive_blend
+
+
+def make_camera(W=64, H=32, fov=0.8, z_offset=0.0):
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = z_offset
+    fovx, fovy = fov, fov * H / W
+    proj = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    return RasterCamera(w2c=jnp.asarray(w2c), proj=jnp.asarray(proj),
+                        width=W, height=H,
+                        tan_fovx=float(np.tan(fovx / 2)),
+                        tan_fovy=float(np.tan(fovy / 2)))
+
+
+def random_scene(P=50, seed=0, spread=1.0, zmin=2.0, zmax=6.0):
+    rng = np.random.default_rng(seed)
+    means = np.zeros((P, 3), np.float32)
+    means[:, 0] = rng.uniform(-spread, spread, P)
+    means[:, 1] = rng.uniform(-spread * 0.5, spread * 0.5, P)
+    means[:, 2] = rng.uniform(zmin, zmax, P)
+    scales = np.exp(rng.uniform(-3.5, -2.0, (P, 3))).astype(np.float32)
+    quats = rng.normal(size=(P, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opacity = rng.uniform(0.2, 0.95, P).astype(np.float32)
+    colors = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    return means, scales, quats, opacity, colors
+
+
+SMALL_CFG = RasterConfig(tile_w=16, tile_h=8, max_tiles_per_splat=64,
+                         chunk=16, max_splats_per_tile=128)
+
+
+class TestBlendVsNaive:
+    def test_matches_sequential_semantics(self):
+        """Vectorized blend must reproduce the literal sequential CUDA
+        semantics on a single-tile image, including sticky termination."""
+        rng = np.random.default_rng(7)
+        P, H, W = 40, 8, 16
+        mean2d = rng.uniform(-2, W + 2, (P, 2)).astype(np.float32)
+        mean2d[:, 1] = rng.uniform(-2, H + 2, P)
+        # random positive-definite conics
+        a = rng.uniform(0.05, 0.8, P)
+        c = rng.uniform(0.05, 0.8, P)
+        b = rng.uniform(-1, 1, P) * np.sqrt(a * c) * 0.8
+        conic = np.stack([a, b, c], -1).astype(np.float32)
+        opacity = rng.uniform(0.3, 0.99, P).astype(np.float32)
+        channels = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+        bg = np.array([0.1, 0.2, 0.3], np.float32)
+        order = np.argsort(rng.normal(size=P)).astype(np.int32)
+
+        golden, golden_T, golden_obs = naive_blend(
+            list(order), mean2d, conic, opacity, channels, H, W, bg)
+
+        # Drive blend_tiles_xla directly with a single tile covering the image
+        from langscenex_tpu.ops.binning import TileLists
+        cfg = RasterConfig(tile_w=W, tile_h=H, chunk=8, max_splats_per_tile=40)
+        lists = TileLists(point_list=jnp.asarray(order),
+                          tile_starts=jnp.array([0], jnp.int32),
+                          tile_counts=jnp.array([P], jnp.int32),
+                          num_pairs=jnp.array(P), overflowed=jnp.array(False))
+        accum, T, obs = blend_tiles_xla(
+            lists, jnp.asarray(mean2d), jnp.asarray(conic),
+            jnp.asarray(opacity), jnp.asarray(channels), 1, 1, cfg)
+        img = np.asarray(accum[0]).reshape(3, H, W) + np.asarray(T[0]).reshape(H, W) * bg[:, None, None]
+        np.testing.assert_allclose(img, golden, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(T[0]).reshape(H, W), golden_T, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(obs), golden_obs)
+
+    def test_high_opacity_termination(self):
+        """Dense stack of near-opaque splats exercises the T<1e-4 sticky
+        termination path."""
+        P, H, W = 60, 8, 8
+        mean2d = np.full((P, 2), 3.5, np.float32)
+        conic = np.tile(np.array([[0.5, 0.0, 0.5]], np.float32), (P, 1))
+        opacity = np.full(P, 0.95, np.float32)
+        rng = np.random.default_rng(8)
+        channels = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+        bg = np.zeros(3, np.float32)
+        order = np.arange(P, dtype=np.int32)
+
+        golden, golden_T, golden_obs = naive_blend(
+            list(order), mean2d, conic, opacity, channels, H, W, bg)
+        from langscenex_tpu.ops.binning import TileLists
+        cfg = RasterConfig(tile_w=W, tile_h=H, chunk=16, max_splats_per_tile=64)
+        lists = TileLists(point_list=jnp.asarray(order),
+                          tile_starts=jnp.array([0], jnp.int32),
+                          tile_counts=jnp.array([P], jnp.int32),
+                          num_pairs=jnp.array(P), overflowed=jnp.array(False))
+        accum, T, obs = blend_tiles_xla(
+            lists, jnp.asarray(mean2d), jnp.asarray(conic),
+            jnp.asarray(opacity), jnp.asarray(channels), 1, 1, cfg)
+        img = np.asarray(accum[0]).reshape(3, H, W)
+        np.testing.assert_allclose(img, golden, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(obs), golden_obs)
+
+
+class TestEndToEnd:
+    def test_single_splat_analytic(self):
+        """One isotropic splat at the optical axis: pixel alpha is
+        analytically o*exp(-0.5 d^2 / sigma2) with sigma2 = (f s / z)^2+0.3."""
+        cam = make_camera(W=64, H=32)
+        s, z, o = 0.05, 3.0, 0.8
+        means = jnp.array([[0.0, 0.0, z]])
+        scales = jnp.full((1, 3), s)
+        quats = jnp.array([[1.0, 0, 0, 0]])
+        color = jnp.array([[1.0, 0.5, 0.25]])
+        bg = jnp.zeros(3)
+        out = rasterize(means, scales, quats, jnp.array([o]), cam, bg,
+                        colors_precomp=color, cfg=SMALL_CFG)
+        sigx2 = (cam.focal_x * s / z) ** 2 + 0.3
+        sigy2 = (cam.focal_y * s / z) ** 2 + 0.3
+        cxp, cyp = (cam.width - 1) / 2, (cam.height - 1) / 2
+        img = np.asarray(out.color)
+        for (px, py) in [(32, 16), (30, 14), (35, 16)]:
+            d2 = (px - cxp) ** 2 / sigx2 + (py - cyp) ** 2 / sigy2
+            alpha = o * np.exp(-0.5 * d2)
+            if alpha < ALPHA_MIN:
+                alpha = 0.0
+            np.testing.assert_allclose(img[:, py, px], alpha * np.asarray(color[0]),
+                                       atol=2e-3)
+
+    def test_front_occludes_back(self):
+        cam = make_camera(W=32, H=32, fov=0.6)
+        means = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 5.0]])
+        scales = jnp.full((2, 3), 0.2)
+        quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1))
+        colors = jnp.array([[1.0, 0, 0], [0, 1.0, 0]])
+        opac = jnp.array([0.99, 0.99])
+        out = rasterize(means, scales, quats, opac, cam, jnp.zeros(3),
+                        colors_precomp=colors, cfg=SMALL_CFG)
+        center = np.asarray(out.color[:, 16, 16])
+        assert center[0] > 0.9
+        assert center[1] < 0.1
+
+    def test_full_pipeline_vs_naive(self):
+        """Random scene through the full preprocess+binning+blend matches the
+        naive per-pixel oracle fed the same preprocessed values."""
+        cam = make_camera(W=48, H=24)
+        means, scales, quats, opacity, colors = random_scene(P=80, seed=11)
+        out = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                        jnp.asarray(quats), jnp.asarray(opacity), cam,
+                        jnp.array([0.2, 0.1, 0.0]),
+                        colors_precomp=jnp.asarray(colors), cfg=SMALL_CFG)
+
+        proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=SMALL_CFG.tile_w, tile_h=SMALL_CFG.tile_h)
+        # naive: global depth order, all splats visible against every pixel
+        vis = np.asarray(proc.visible)
+        depth = np.asarray(proc.depth)
+        order = [int(i) for i in np.argsort(depth, kind='stable') if vis[i]]
+        op = np.where(vis, opacity, 0.0)
+        golden, golden_T, _ = naive_blend(
+            order, np.asarray(proc.mean2d), np.asarray(proc.conic),
+            op, np.asarray(proc.rgb), cam.height, cam.width,
+            np.array([0.2, 0.1, 0.0], np.float32),
+            rect_min=np.asarray(proc.rect_min), rect_max=np.asarray(proc.rect_max),
+            tile_w=SMALL_CFG.tile_w, tile_h=SMALL_CFG.tile_h)
+        np.testing.assert_allclose(np.asarray(out.color), golden, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.final_T), golden_T, atol=1e-5)
+
+    def test_feature_and_geo_channels(self):
+        cam = make_camera(W=32, H=16)
+        means, scales, quats, opacity, colors = random_scene(P=30, seed=12)
+        P = means.shape[0]
+        rng = np.random.default_rng(13)
+        lang = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+        inst = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+        allm = np.zeros((P, 5), np.float32)
+        allm[:, :3] = rng.normal(size=(P, 3))
+        allm[:, 3] = 1.0
+        allm[:, 4] = rng.uniform(1, 5, P)
+        out = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                        jnp.asarray(quats), jnp.asarray(opacity), cam,
+                        jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                        language_feature=jnp.asarray(lang),
+                        instance_feature=jnp.asarray(inst),
+                        all_map=jnp.asarray(allm), cfg=SMALL_CFG)
+        assert out.language.shape == (3, 16, 32)
+        assert out.instance.shape == (3, 16, 32)
+        assert out.all_map.shape == (5, 16, 32)
+        assert out.plane_depth.shape == (16, 32)
+        # alpha channel of all_map equals 1 - final_T
+        np.testing.assert_allclose(np.asarray(out.all_map[3]),
+                                   1.0 - np.asarray(out.final_T), atol=1e-4)
+
+    def test_gradients_finite_difference(self):
+        cam = make_camera(W=24, H=16)
+        means, scales, quats, opacity, colors = random_scene(P=12, seed=14)
+
+        def loss_fn(op):
+            out = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                            jnp.asarray(quats), op, cam, jnp.zeros(3),
+                            colors_precomp=jnp.asarray(colors), cfg=SMALL_CFG)
+            return jnp.sum(out.color ** 2)
+
+        op0 = jnp.asarray(opacity)
+        g = jax.grad(loss_fn)(op0)
+        eps = 1e-3
+        for i in [0, 3, 7]:
+            lp = loss_fn(op0.at[i].add(eps))
+            lm = loss_fn(op0.at[i].add(-eps))
+            fd = (lp - lm) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=2e-3)
+
+    def test_mean_gradients(self):
+        cam = make_camera(W=24, H=16)
+        means, scales, quats, opacity, colors = random_scene(P=12, seed=15)
+
+        def loss_fn(m):
+            out = rasterize(m, jnp.asarray(scales), jnp.asarray(quats),
+                            jnp.asarray(opacity), cam, jnp.zeros(3),
+                            colors_precomp=jnp.asarray(colors), cfg=SMALL_CFG)
+            return jnp.sum(out.color ** 2)
+
+        m0 = jnp.asarray(means)
+        g = jax.grad(loss_fn)(m0)
+        assert np.all(np.isfinite(np.asarray(g)))
+        eps = 1e-3
+        for (i, j) in [(0, 0), (5, 2)]:
+            lp = loss_fn(m0.at[i, j].add(eps))
+            lm = loss_fn(m0.at[i, j].add(-eps))
+            fd = float(lp - lm) / (2 * eps)
+            np.testing.assert_allclose(float(g[i, j]), fd, rtol=5e-2, atol=5e-3)
+
+    def test_mean2d_offset_gradient_path(self):
+        """The screen-space gradient hook used for densification stats."""
+        cam = make_camera(W=24, H=16)
+        means, scales, quats, opacity, colors = random_scene(P=12, seed=16)
+
+        def loss_fn(off):
+            out = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                            jnp.asarray(quats), jnp.asarray(opacity), cam,
+                            jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                            mean2d_offset=off, cfg=SMALL_CFG)
+            return jnp.sum(out.color ** 2)
+
+        g = jax.grad(loss_fn)(jnp.zeros((12, 2)))
+        assert np.any(np.asarray(g) != 0)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestBinning:
+    def test_counts_and_order(self):
+        cam = make_camera(W=48, H=24)
+        means, scales, quats, opacity, colors = random_scene(P=40, seed=17)
+        proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=16, tile_h=8)
+        gx, gy = 3, 3
+        lists = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64)
+        assert not bool(lists.overflowed)
+        assert int(lists.num_pairs) == int(np.sum(np.asarray(proc.tiles_touched)))
+        starts = np.asarray(lists.tile_starts)
+        counts = np.asarray(lists.tile_counts)
+        pl = np.asarray(lists.point_list)
+        depth = np.asarray(proc.depth)
+        assert int(np.sum(counts)) == int(lists.num_pairs)
+        for t in range(gx * gy):
+            ids = pl[starts[t]:starts[t] + counts[t]]
+            d = depth[ids]
+            assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
