@@ -135,7 +135,8 @@ def preprocess(
     else:
         assert shs is not None
         dirs = means3d - cam.cam_center
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        dirs = dirs / jnp.sqrt(jnp.maximum(
+            jnp.sum(dirs * dirs, -1, keepdims=True), 1e-24))
         rgb = sh_ops.sh_to_rgb(sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
 
     return ProcessedSplats(

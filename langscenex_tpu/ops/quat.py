@@ -11,7 +11,9 @@ import jax.numpy as jnp
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
+    # sqrt(max(...)) keeps the gradient finite at q == 0
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), eps * eps))
+    return q / norm
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

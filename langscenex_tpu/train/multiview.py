@@ -1,0 +1,140 @@
+"""Multi-view geometric consistency + patch-NCC photometric loss.
+
+Parity target: the multi-view block of the training loop
+(field_construction/gaussian_field.py:285-444) plus its helpers
+get_points_from_depth / get_points_depth_in_depth_map
+(scene/gaussian_model.py:726-758), patch_offsets/patch_warp
+(utils/graphics_utils.py:183-196) and lncc (utils/loss_utils.py:120-155).
+
+Static-shape JAX reformulation: the reference samples `sample_num` valid
+pixels without replacement when there are more than sample_num valid ones;
+here a fixed-size random permutation subset is taken from ALL pixels and
+invalid ones are masked to weight zero — statistically equivalent
+supervision with static shapes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import bilinear_sample_border
+from ..ops.losses import lncc
+
+
+class MultiViewOut(NamedTuple):
+    geo_loss: jnp.ndarray
+    ncc_loss: jnp.ndarray
+    n_valid: jnp.ndarray
+
+
+def _rays(H: int, W: int, fx, fy, cx, cy):
+    ix = jnp.arange(W, dtype=jnp.float32)
+    iy = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(ix, iy, indexing='xy')
+    return jnp.stack([(gx - cx) / fx, (gy - cy) / fy, jnp.ones_like(gx)], -1)
+
+
+def multi_view_loss(key: jax.Array,
+                    plane_depth: jnp.ndarray,        # [H,W] view cam
+                    rendered_normal: jnp.ndarray,    # [3,H,W] camera-frame
+                    rendered_distance: jnp.ndarray,  # [H,W]
+                    near_plane_depth: jnp.ndarray,   # [H,W]
+                    gt_gray: jnp.ndarray,            # [1,H,W]
+                    near_gt_gray: jnp.ndarray,       # [1,H,W]
+                    view_w2c: jnp.ndarray,           # [4,4]
+                    near_w2c: jnp.ndarray,           # [4,4]
+                    K: jnp.ndarray,                  # [3,3] (view==near intrinsics)
+                    patch_size: int = 3,
+                    sample_num: int = 102_400,
+                    pixel_noise_th: float = 1.0,
+                    geo_weight: float = 0.03,
+                    ncc_weight: float = 0.15,
+                    wo_geo_occ_aware: bool = False,
+                    compute_ncc: bool = True) -> MultiViewOut:
+    H, W = plane_depth.shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    # ---- forward reprojection (gaussian_field.py:316-336)
+    rays = _rays(H, W, fx, fy, cx, cy)                     # [H,W,3]
+    pts_cam = rays * plane_depth[..., None]
+    Rv, tv = view_w2c[:3, :3], view_w2c[:3, 3]
+    Rn, tn = near_w2c[:3, :3], near_w2c[:3, 3]
+    pts_world = (pts_cam.reshape(-1, 3) - tv) @ Rv         # R^T... rows: Rv^T? see below
+    # x_w = Rv^T (x_cam - tv): (x - tv) @ Rv applies Rv^T row-wise
+    pts_near = pts_world @ Rn.T + tn
+
+    # sample nearest cam's depth at the projections (:337-341, helper :726-748)
+    proj_near = jnp.stack([pts_near[:, 0] * fx / pts_near[:, 2] + cx,
+                           pts_near[:, 1] * fy / pts_near[:, 2] + cy], -1)
+    d_mask = ((proj_near[:, 0] > 0) & (proj_near[:, 0] < W)
+              & (proj_near[:, 1] > 0) & (proj_near[:, 1] < H)
+              & (pts_near[:, 2] > 0.1))
+    map_z = bilinear_sample_border(near_plane_depth[None], proj_near)[0]
+
+    # back-project with the nearest cam's surface depth and return (:343-355)
+    pts_near_surf = pts_near / pts_near[:, 2:3] * map_z[:, None]
+    pts_world2 = (pts_near_surf - tn) @ Rn
+    pts_view2 = pts_world2 @ Rv.T + tv
+    proj_back = jnp.stack([pts_view2[:, 0] * fx / pts_view2[:, 2] + cx,
+                           pts_view2[:, 1] * fy / pts_view2[:, 2] + cy], -1)
+
+    ix = jnp.arange(W, dtype=jnp.float32)
+    iy = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(ix, iy, indexing='xy')
+    pixels = jnp.stack([gx, gy], -1).reshape(-1, 2)
+    diff = proj_back - pixels
+    pixel_noise = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-16))
+
+    if not wo_geo_occ_aware:
+        d_mask = d_mask & (pixel_noise < pixel_noise_th)
+        weights = jax.lax.stop_gradient(1.0 / jnp.exp(pixel_noise))
+    else:
+        weights = jnp.ones_like(pixel_noise)
+    weights = jnp.where(d_mask, weights, 0.0)
+
+    n_valid = jnp.sum(d_mask)
+    geo_loss = geo_weight * jnp.sum(weights * pixel_noise) / jnp.maximum(n_valid, 1)
+
+    if not compute_ncc:
+        return MultiViewOut(geo_loss=geo_loss, ncc_loss=jnp.zeros(()), n_valid=n_valid)
+
+    # ---- LNCC photometric loss (:385-444)
+    npx = H * W
+    take = min(sample_num, npx)
+    sel = jax.random.permutation(key, npx)[:take]
+    sel_w = weights[sel]
+    sel_pix = pixels[sel]
+
+    ps = 2 * patch_size + 1
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(-patch_size, patch_size + 1, dtype=jnp.float32),
+                                  jnp.arange(-patch_size, patch_size + 1, dtype=jnp.float32),
+                                  indexing='xy')[::-1], -1).reshape(-1, 2)
+    # NOTE graphics_utils.patch_offsets stacks (y,x)[::-1] -> (x,y)
+    patch_pix = sel_pix[:, None, :] + offs[None, :, :]      # [S, ps*ps, 2]
+    ref_gray = bilinear_sample_border(gt_gray, patch_pix.reshape(-1, 2))
+    ref_gray = ref_gray.reshape(take, ps * ps)
+
+    # homography view->near per sampled pixel (:409-427)
+    R_rel = Rn @ Rv.T
+    t_rel = -R_rel @ tv + tn
+    n_local = rendered_normal.reshape(3, -1).T[sel]          # [S,3]
+    d_local = rendered_distance.reshape(-1)[sel]
+    Hmat = (R_rel[None] - t_rel[None, :, None] * n_local[:, None, :]
+            / (d_local[:, None, None] + 1e-12))
+    Kinv = jnp.linalg.inv(K)
+    Hmat = K[None] @ Hmat @ Kinv[None]
+
+    ones = jnp.ones((take, ps * ps, 1))
+    homo = jnp.concatenate([patch_pix, ones], -1)            # [S,pp,3]
+    warped = jnp.einsum('sij,spj->spi', Hmat, homo)
+    warped = warped[..., :2] / (warped[..., 2:] + 1e-10)
+    near_gray = bilinear_sample_border(near_gt_gray, warped.reshape(-1, 2))
+    near_gray = near_gray.reshape(take, ps * ps)
+
+    ncc_vals, ncc_mask = lncc(jax.lax.stop_gradient(ref_gray), near_gray)
+    m = ncc_mask[:, 0] & (sel_w > 0)
+    ncc = ncc_vals[:, 0] * sel_w
+    ncc_loss = ncc_weight * jnp.sum(jnp.where(m, ncc, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+    return MultiViewOut(geo_loss=geo_loss, ncc_loss=ncc_loss, n_valid=n_valid)

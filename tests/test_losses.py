@@ -1,0 +1,199 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langscenex_tpu.ops import losses as L
+from langscenex_tpu.ops.knn import mean_dist3_sq, morton_codes
+from langscenex_tpu.ops.depth_normal import (depth_to_points_cam,
+                                             points_to_normals,
+                                             normal_from_depth)
+
+
+class TestBasicLosses:
+    def test_l1_l2(self):
+        x = jnp.array([1.0, 2.0, 3.0])
+        y = jnp.array([2.0, 2.0, 1.0])
+        assert float(L.l1_loss(x, y)) == pytest.approx(1.0)
+        assert float(L.l2_loss(x, y)) == pytest.approx(5.0 / 3.0)
+
+    def test_cos(self):
+        x = jnp.eye(3)
+        assert float(L.cos_loss(x, x)) == pytest.approx(0.0, abs=1e-6)
+        y = -x
+        assert float(L.cos_loss(x, y)) == pytest.approx(2.0, abs=1e-6)
+
+
+class TestSSIM:
+    def test_identical(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (3, 32, 48)).astype(np.float32))
+        assert float(L.ssim(img, img)) == pytest.approx(1.0, abs=1e-4)
+
+    def test_against_torch_reference(self):
+        """Cross-check against an independent torch implementation of the
+        standard SSIM (gaussian 11x11 sigma 1.5, zero padding)."""
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(1)
+        a = rng.uniform(0, 1, (3, 24, 40)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+        xs = torch.arange(11, dtype=torch.float64) - 5
+        g = torch.exp(-(xs ** 2) / (2 * 1.5 ** 2))
+        g = (g / g.sum()).float()
+        w2 = (g[:, None] @ g[None, :]).expand(3, 1, 11, 11).contiguous()
+
+        def f(x):
+            return F.conv2d(torch.from_numpy(x)[None], w2, padding=5, groups=3)
+
+        mu1, mu2 = f(a), f(b)
+        s1 = f(a * a) - mu1 ** 2
+        s2 = f(b * b) - mu2 ** 2
+        s12 = f(a * b) - mu1 * mu2
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+        smap = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+            (mu1 ** 2 + mu2 ** 2 + C1) * (s1 + s2 + C2))
+        golden = float(smap.mean())
+
+        ours = float(L.ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert ours == pytest.approx(golden, abs=1e-5)
+
+    def test_differentiable(self):
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)).astype(np.float32))
+        g = jax.grad(lambda x: L.ssim(x, b))(a)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestLNCC:
+    def test_identical_patches(self):
+        rng = np.random.default_rng(3)
+        p = jnp.asarray(rng.uniform(0, 1, (10, 49)).astype(np.float32))
+        ncc, mask = L.lncc(p, p)
+        np.testing.assert_allclose(np.asarray(ncc), 0.0, atol=1e-4)
+        assert np.all(np.asarray(mask))
+
+    def test_affine_invariance(self):
+        # NCC is invariant to affine intensity changes
+        rng = np.random.default_rng(4)
+        p = jnp.asarray(rng.uniform(0, 1, (10, 49)).astype(np.float32))
+        q = 2.5 * p + 0.3
+        ncc, _ = L.lncc(p, q)
+        np.testing.assert_allclose(np.asarray(ncc), 0.0, atol=1e-3)
+
+    def test_uncorrelated(self):
+        rng = np.random.default_rng(5)
+        p = jnp.asarray(rng.uniform(0, 1, (200, 49)).astype(np.float32))
+        q = jnp.asarray(rng.uniform(0, 1, (200, 49)).astype(np.float32))
+        ncc, _ = L.lncc(p, q)
+        assert float(jnp.mean(ncc)) > 0.5
+
+
+class TestGrouping:
+    def test_semantic_same_group_zero_when_equal_features(self):
+        key = jax.random.PRNGKey(0)
+        seg = jnp.zeros(100, jnp.int32)
+        feat = jnp.ones((100, 3))
+        loss = L.loss_semantic_group(key, seg, feat, num=100)
+        assert float(loss) == pytest.approx(0.0, abs=1e-4)
+
+    def test_semantic_penalizes_spread(self):
+        key = jax.random.PRNGKey(0)
+        seg = jnp.zeros(64, jnp.int32)
+        rng = np.random.default_rng(6)
+        feat = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        loss = L.loss_semantic_group(key, seg, feat, num=64)
+        assert float(loss) > 0.1
+
+    def test_instance_negatives_pushed(self):
+        key = jax.random.PRNGKey(1)
+        seg = jnp.array([0] * 32 + [1] * 32)
+        inst_same = jnp.ones((64, 3)) * 0.5          # all identical -> bad for negatives
+        lang = jnp.ones((64, 3))
+        loss_bad = L.loss_instance_group(key, seg, inst_same, lang, num=64)
+        inst_sep = jnp.concatenate([jnp.zeros((32, 3)), jnp.ones((32, 3)) * 10], 0)
+        loss_good = L.loss_instance_group(key, seg, inst_sep, lang, num=64)
+        assert float(loss_bad) > float(loss_good)
+
+    def test_cls3d_uniform_is_zero(self):
+        key = jax.random.PRNGKey(2)
+        rng = np.random.default_rng(7)
+        feats = jnp.asarray(rng.normal(size=(500, 3)).astype(np.float32))
+        preds = jnp.full((500, 4), 0.25)
+        loss = L.loss_cls_3d(key, feats, preds, sample_size=100)
+        assert float(loss) == pytest.approx(0.0, abs=1e-5)
+
+    def test_ranking(self):
+        e = jnp.array([1.0, 5.0, 3.0, 2.0])
+        assert float(L.ranking_loss(e, 0.5)) == pytest.approx(4.0)  # mean(5,3)
+        assert float(L.ranking_loss(e, 1.0)) == pytest.approx(2.75)
+
+
+class TestImageGradWeight:
+    def test_border_and_range(self):
+        rng = np.random.default_rng(8)
+        img = jnp.asarray(rng.uniform(0, 1, (3, 12, 14)).astype(np.float32))
+        w = L.image_grad_weight(img)
+        assert w.shape == (12, 14)
+        assert np.all(np.asarray(w[0]) == 1.0)
+        assert np.all(np.asarray(w) >= 0) and np.all(np.asarray(w) <= 1)
+
+
+class TestKNN:
+    def test_regular_grid(self):
+        # Regular 1D line with spacing h: 3 NN at distances h, h, 2h ->
+        # mean sq = (h^2+h^2+4h^2)/3 = 2h^2 for interior points
+        h = 0.5
+        pts = np.zeros((50, 3), np.float32)
+        pts[:, 0] = np.arange(50) * h
+        d = np.asarray(mean_dist3_sq(jnp.asarray(pts), window=8))
+        np.testing.assert_allclose(d[2:-2], 2 * h * h, rtol=1e-5)
+
+    def test_random_vs_exact(self):
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+        approx = np.asarray(mean_dist3_sq(jnp.asarray(pts), window=32))
+        # exact brute force
+        d2 = np.sum((pts[:, None] - pts[None, :]) ** 2, -1)
+        np.fill_diagonal(d2, np.inf)
+        exact = np.mean(np.sort(d2, axis=1)[:, :3], axis=1)
+        # morton window approximation: demand close match for most points
+        rel = np.abs(approx - exact) / np.maximum(exact, 1e-9)
+        assert np.median(rel) < 0.05
+        assert np.mean(rel < 0.5) > 0.9
+
+    def test_morton_locality(self):
+        pts = np.array([[0, 0, 0], [1, 1, 1], [0.01, 0, 0]], np.float32)
+        codes = np.asarray(morton_codes(jnp.asarray(pts)))
+        assert abs(int(codes[0]) - int(codes[2])) < abs(int(codes[0]) - int(codes[1]))
+
+
+class TestDepthNormal:
+    def test_flat_plane_normal(self):
+        # A fronto-parallel plane at depth z has normal (0,0,-1) or (0,0,1)
+        H, W = 16, 20
+        K = jnp.array([[100.0, 0, 10], [0, 100.0, 8], [0, 0, 1]])
+        depth = jnp.full((H, W), 2.0)
+        n = np.asarray(normal_from_depth(depth, K))
+        inner = n[2:-2, 2:-2]
+        assert np.all(np.abs(np.abs(inner[..., 2]) - 1.0) < 1e-4)
+
+    def test_unproject_center(self):
+        K = jnp.array([[100.0, 0, 10], [0, 100.0, 8], [0, 0, 1]])
+        depth = jnp.full((16, 20), 3.0)
+        pts = np.asarray(depth_to_points_cam(depth, K))
+        # principal point pixel maps to (0, 0, z)
+        np.testing.assert_allclose(pts[8, 10], [0, 0, 3.0], atol=1e-5)
+
+    def test_slanted_plane(self):
+        # depth = a*x + c plane: normal should have consistent x component
+        H, W = 20, 20
+        K = jnp.array([[50.0, 0, 10], [0, 50.0, 10], [0, 0, 1]])
+        xs = jnp.arange(W, dtype=jnp.float32)
+        depth = 2.0 + 0.01 * xs[None, :].repeat(H, 0)
+        n = np.asarray(normal_from_depth(depth, K))
+        inner = n[5:-5, 5:-5]
+        assert np.std(inner[..., 0]) < 0.05  # consistent orientation

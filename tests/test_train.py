@@ -1,0 +1,221 @@
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langscenex_tpu.ops.rasterize import RasterConfig, rasterize
+from langscenex_tpu.ops.transforms import projection_matrix, focal2fov, fov2focal
+from langscenex_tpu.scene.cameras import Camera, rgb_to_gray, compute_nearest_cameras
+from langscenex_tpu.scene.gaussians import (GaussianState, DensifyStats,
+                                            create_from_points)
+from langscenex_tpu.train.field import (GaussianFieldTrainer, phase_flags,
+                                        render_view)
+from langscenex_tpu.train.densify import densify_and_prune
+from langscenex_tpu.utils.config import OptimizationConfig
+
+W, H = 48, 32
+RCFG = RasterConfig(tile_w=16, tile_h=8, max_tiles_per_splat=64, chunk=32,
+                    max_splats_per_tile=256)
+
+
+def make_cams(n=4, radius=4.0):
+    cams = []
+    fovx = 0.9
+    fovy = focal2fov(fov2focal(fovx, W), H)
+    for i in range(n):
+        ang = (i - n / 2) * 0.15
+        # camera on a small arc looking at origin
+        Rz = np.array([[np.cos(ang), 0, np.sin(ang)],
+                       [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]])
+        # w2c rotation: camera looks down +z at origin
+        C = Rz @ np.array([0, 0, -radius])
+        Rw2c = Rz.T
+        T = -Rw2c @ C
+        cams.append(Camera(uid=i, colmap_id=i, R=Rw2c.T, T=T, fovx=fovx,
+                           fovy=fovy, width=W, height=H,
+                           image_name=f"{i:04d}"))
+    return cams
+
+
+def gt_scene(P=60, seed=3):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (P, 3)).astype(np.float32) * [1.2, 0.8, 0.6]
+    colors = rng.uniform(0.1, 0.9, (P, 3)).astype(np.float32)
+    return pts, colors
+
+
+def render_gt_images(cams, pts, colors):
+    state = create_from_points(pts, colors, capacity=pts.shape[0])
+    # make gt splats chunky and opaque
+    state = dataclasses.replace(
+        state,
+        scaling=jnp.full_like(state.scaling, np.log(0.15)),
+        opacity=jnp.full_like(state.opacity, 3.0))
+    imgs = []
+    for c in cams:
+        out = render_view(state, None, jnp.asarray(c.w2c), c.raster_camera(),
+                          jnp.zeros(3), 0, False, False, None, RCFG)
+        imgs.append(np.asarray(out.color))
+    return imgs
+
+
+class TestTrainerSmoke:
+    def test_image_loss_decreases(self):
+        cams = make_cams()
+        pts, colors = gt_scene()
+        gt_imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, gt_imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        compute_nearest_cameras(cams, max_dis=10.0)
+
+        rng = np.random.default_rng(7)
+        noisy = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+        splats = create_from_points(noisy, np.full_like(colors, 0.5),
+                                    capacity=128)
+        cfg = OptimizationConfig(
+            iterations=60, max_geo_iter=1000,
+            single_view_weight_from_iter=10_000,   # keep smoke test fast
+            multi_view_weight_from_iter=10_000,
+            lang_loss_start_iter=10_000,
+            densify_from_iter=10_000,
+            optim_pose=False, loss_obj_3d=False, grouping_loss=False)
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=4.0,
+                                  sh_degree_max=1, rcfg=RCFG)
+        losses = []
+        tr.train(iterations=40,
+                 callback=lambda it, st, m: losses.append(float(m['image_loss'])))
+        first = np.mean(losses[:8])
+        last = np.mean(losses[-8:])
+        assert last < first * 0.85, f"loss did not decrease: {first} -> {last}"
+
+    def test_pose_optimization_path_runs(self):
+        cams = make_cams(n=3)
+        pts, colors = gt_scene(P=40)
+        gt_imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, gt_imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=64)
+        cfg = OptimizationConfig(
+            iterations=10, max_geo_iter=1000,
+            single_view_weight_from_iter=2, single_view_weight_end_iter=1000,
+            multi_view_weight_from_iter=10_000, lang_loss_start_iter=10_000,
+            densify_from_iter=10_000, optim_pose=True,
+            loss_obj_3d=False, grouping_loss=False)
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=4.0,
+                                  rcfg=RCFG)
+        state, metrics = tr.train(iterations=6)
+        assert np.all(np.isfinite(np.asarray(state.poses)))
+        assert 'normal_loss' in metrics
+        # poses should have moved (being optimized)
+        init_poses = np.stack([np.asarray(
+            tr.cams[i].w2c) for i in range(3)])
+        assert np.isfinite(float(metrics['image_loss']))
+
+    def test_multiview_and_lang_phases_run(self):
+        cams = make_cams(n=3)
+        pts, colors = gt_scene(P=40)
+        gt_imgs = render_gt_images(cams, pts, colors)
+        rng = np.random.default_rng(0)
+        for c, img in zip(cams, gt_imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        compute_nearest_cameras(cams, max_dis=100.0)
+        assert any(c.nearest_id for c in cams)
+        splats = create_from_points(pts, colors, capacity=64)
+        cfg = OptimizationConfig(
+            iterations=8, max_geo_iter=6,
+            single_view_weight_from_iter=1, single_view_weight_end_iter=1000,
+            multi_view_weight_from_iter=1, multi_view_weight_end_iter=1000,
+            multi_view_sample_num=256,
+            lang_loss_start_iter=4, densify_from_iter=10_000,
+            optim_pose=False, loss_obj_3d=True, grouping_loss=True,
+            instance_supervision_from_iter=8)
+        # fake language features on the cameras via the batch cache
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=4.0,
+                                  rcfg=RCFG)
+        for ci in range(len(cams)):
+            arrs = tr._camera_arrays(ci)
+            arrs['lang_feat'] = jnp.asarray(
+                rng.uniform(-1, 1, (3, H, W)).astype(np.float32))
+            arrs['lang_mask'] = jnp.ones((H, W), bool)
+            arrs['seg'] = jnp.asarray(
+                rng.integers(0, 5, (H, W)).astype(np.int32))
+        state, metrics = tr.train(iterations=8)
+        # ran through geo+multiview, lang, and instance phases
+        assert 'ins_grouping_loss' in metrics or 'ins_obj3d_loss' in metrics
+        assert np.all(np.isfinite(np.asarray(state.splats.language_feature)))
+
+
+class TestDensify:
+    def _mini_state(self, P=20, cap=40):
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+        colors = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+        return create_from_points(pts, colors, capacity=cap)
+
+    def test_clone_small_splats(self):
+        state = self._mini_state()
+        cap = state.capacity
+        stats = DensifyStats.zeros(cap)
+        # large positional gradients on first 5 alive splats
+        grad = jnp.zeros(cap).at[:5].set(1.0)
+        stats = dataclasses.replace(stats, xyz_gradient_accum=grad,
+                                    denom=jnp.ones(cap))
+        # tiny scales -> clone path
+        state = dataclasses.replace(state, scaling=jnp.full_like(state.scaling, -8.0))
+        cfg = OptimizationConfig(densify_grad_threshold=0.5, percent_dense=0.01)
+        res = densify_and_prune(jax.random.PRNGKey(0), state, stats, cfg,
+                                scene_extent=10.0, size_threshold=None)
+        assert int(res.n_cloned) == 5
+        assert int(res.n_split) == 0
+        assert int(jnp.sum(res.state.alive)) == 25
+
+    def test_split_large_splats(self):
+        state = self._mini_state()
+        cap = state.capacity
+        stats = DensifyStats.zeros(cap)
+        grad = jnp.zeros(cap).at[:4].set(1.0)
+        stats = dataclasses.replace(stats, xyz_gradient_accum=grad,
+                                    denom=jnp.ones(cap))
+        # huge scales -> split path
+        state = dataclasses.replace(state, scaling=jnp.full_like(state.scaling, 0.0))
+        cfg = OptimizationConfig(densify_grad_threshold=0.5,
+                                 percent_dense=0.001,
+                                 opacity_cull_threshold=0.01)
+        res = densify_and_prune(jax.random.PRNGKey(0), state, stats, cfg,
+                                scene_extent=1.0, size_threshold=None)
+        assert int(res.n_split) == 4
+        # scale reduced on split splats
+        assert float(res.state.scaling[0, 0]) == pytest.approx(
+            np.log(1.0 / 1.6), abs=1e-4)
+
+    def test_prune_low_opacity(self):
+        state = self._mini_state()
+        cap = state.capacity
+        op = state.opacity.at[:3].set(-10.0)  # sigmoid ~ 0
+        state = dataclasses.replace(state, opacity=op)
+        stats = DensifyStats.zeros(cap)
+        cfg = OptimizationConfig(densify_grad_threshold=1e9,
+                                 opacity_cull_threshold=0.05)
+        res = densify_and_prune(jax.random.PRNGKey(0), state, stats, cfg,
+                                scene_extent=1.0, size_threshold=None)
+        assert int(res.n_pruned) == 3
+        assert int(jnp.sum(res.state.alive)) == 17
+
+    def test_capacity_respected(self):
+        state = self._mini_state(P=20, cap=24)
+        cap = state.capacity
+        stats = DensifyStats.zeros(cap)
+        grad = jnp.zeros(cap).at[:20].set(1.0)   # all want to clone
+        stats = dataclasses.replace(stats, xyz_gradient_accum=grad,
+                                    denom=jnp.ones(cap))
+        state = dataclasses.replace(state, scaling=jnp.full_like(state.scaling, -8.0))
+        cfg = OptimizationConfig(densify_grad_threshold=0.5, percent_dense=0.01)
+        res = densify_and_prune(jax.random.PRNGKey(0), state, stats, cfg,
+                                scene_extent=10.0, size_threshold=None)
+        assert int(jnp.sum(res.state.alive)) <= cap
