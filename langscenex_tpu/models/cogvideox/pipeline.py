@@ -1,0 +1,142 @@
+"""CogVideoX keyframe-interpolation pipeline (TriMap stage 1).
+
+Parity target: CogVideoXInterpolationPipeline.__call__
+(cogvideox_interpolation/pipeline.py:511-789) — from a (first, last) image
+pair and a prompt: VAE-encode both keyframes into the first/last latent
+frames with zeros between (prepare_latents :270-340), then a
+classifier-free-guided denoise loop where every step channel-concatenates
+the (fixed) image latents onto the noisy latents (:720-746), DDIM/DPM
+update (:749-760), and finally 3D-causal-VAE decode (:777-779).
+
+TPU-first: the whole denoise loop is one lax.scan under jit; CFG runs as a
+batch of 2 (conditional/unconditional) so the DiT sees a static batch; DP
+over the 3 TriMap videos and TP over DiT heads come from the mesh axes
+(parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .scheduler import DDIMScheduler
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    num_frames: int = 49
+    height: int = 480
+    width: int = 720
+    num_inference_steps: int = 50
+    guidance_scale: float = 6.0
+    use_dynamic_cfg: bool = False
+    vae_scale_factor_spatial: int = 8
+    vae_scale_factor_temporal: int = 4
+    latent_channels: int = 16
+    vae_scaling_factor: float = 0.7   # CogVideoX VAE config scaling
+
+    @property
+    def latent_frames(self) -> int:
+        return (self.num_frames - 1) // self.vae_scale_factor_temporal + 1
+
+    @property
+    def latent_height(self) -> int:
+        return self.height // self.vae_scale_factor_spatial
+
+    @property
+    def latent_width(self) -> int:
+        return self.width // self.vae_scale_factor_spatial
+
+
+def prepare_interpolation_latents(
+        key: jax.Array, first_latent: jnp.ndarray, last_latent: jnp.ndarray,
+        cfg: PipelineConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (noise latents, conditioning image latents).
+
+    first/last_latent: [B, 1, C, H', W'] VAE-encoded keyframes (already
+    scaled). The conditioning tensor places the first keyframe at latent
+    frame 0 and the last at frame F-1 with zeros between
+    (pipeline.py:270-340); the noise tensor is pure gaussian.
+    """
+    B = first_latent.shape[0]
+    F, C = cfg.latent_frames, cfg.latent_channels
+    H, W = cfg.latent_height, cfg.latent_width
+    pad = jnp.zeros((B, F - 2, C, H, W), first_latent.dtype)
+    image_latents = jnp.concatenate([first_latent, pad, last_latent], axis=1)
+    noise = jax.random.normal(key, (B, F, C, H, W), jnp.float32)
+    return noise, image_latents
+
+
+def dynamic_guidance(scale: float, t: jnp.ndarray, num_train_timesteps: int):
+    """pipeline.py:744-746 dynamic cfg: 1 + (s-1)(1-cos(pi (T-t)/T))/2."""
+    import math
+    frac = (num_train_timesteps - t.astype(jnp.float32)) / num_train_timesteps
+    return 1.0 + (scale - 1.0) * (1.0 - jnp.cos(jnp.pi * frac)) / 2.0
+
+
+def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
+                 image_latents: jnp.ndarray,
+                 text_cond: jnp.ndarray, text_uncond: jnp.ndarray,
+                 scheduler: DDIMScheduler, cfg: PipelineConfig):
+    """CFG denoise loop as a lax.scan (pipeline.py:712-775).
+
+    denoiser(latents [2B,F,2C,H,W], text [2B,L,D], t [2B]) -> [2B,F,C,H,W]
+    """
+    ts = scheduler.timesteps(cfg.num_inference_steps)
+    ts_prev = jnp.concatenate([ts[1:], -jnp.ones((1,), jnp.int32)])
+    text = jnp.concatenate([text_uncond, text_cond], axis=0)
+    B = latents.shape[0]
+
+    def step(lat, t_pair):
+        t, t_prev = t_pair
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        img_in = jnp.concatenate([image_latents, image_latents], axis=0)
+        model_in = jnp.concatenate([lat_in, img_in], axis=2)  # channel cat
+        tt = jnp.full((2 * B,), t, jnp.int32)
+        out = denoiser(model_in, text, tt)
+        uncond, cond = jnp.split(out, 2, axis=0)
+        if cfg.use_dynamic_cfg:
+            g = dynamic_guidance(cfg.guidance_scale, t,
+                                 scheduler.cfg.num_train_timesteps)
+        else:
+            g = cfg.guidance_scale
+        noise_pred = uncond + g * (cond - uncond)
+        new_lat = scheduler.step(noise_pred, t, t_prev, lat)
+        return new_lat, None
+
+    final, _ = jax.lax.scan(step, latents, (ts, ts_prev))
+    return final
+
+
+class InterpolationPipeline:
+    """End-to-end stage-1 runner binding the DiT + VAE + scheduler.
+
+    ``vae_encode(images [B,T,3,H,W]) -> [B,T',C,H',W']`` and ``vae_decode``
+    are injected so the pipeline works with the flax VAE (vae.py) or any
+    stub in tests; T5 embeddings come from models/t5.py.
+    """
+
+    def __init__(self, denoiser_fn, vae_encode, vae_decode,
+                 scheduler: Optional[DDIMScheduler] = None,
+                 cfg: PipelineConfig = PipelineConfig()):
+        self.denoiser_fn = denoiser_fn
+        self.vae_encode = vae_encode
+        self.vae_decode = vae_decode
+        self.scheduler = scheduler or DDIMScheduler()
+        self.cfg = cfg
+
+    def __call__(self, key: jax.Array, first_image: jnp.ndarray,
+                 last_image: jnp.ndarray, text_cond: jnp.ndarray,
+                 text_uncond: jnp.ndarray) -> jnp.ndarray:
+        """first/last_image [B,3,H,W] in [-1,1] -> video latents decoded to
+        [B,T,3,H,W]."""
+        cfg = self.cfg
+        first_lat = self.vae_encode(first_image[:, None]) * cfg.vae_scaling_factor
+        last_lat = self.vae_encode(last_image[:, None]) * cfg.vae_scaling_factor
+        noise, image_latents = prepare_interpolation_latents(
+            key, first_lat, last_lat, cfg)
+        latents = denoise_loop(self.denoiser_fn, noise, image_latents,
+                               text_cond, text_uncond, self.scheduler, cfg)
+        return self.vae_decode(latents / cfg.vae_scaling_factor)

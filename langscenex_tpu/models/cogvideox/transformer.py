@@ -1,0 +1,238 @@
+"""CogVideoX 3D-full-attention DiT in flax, TPU-first.
+
+Architecture parity with the denoiser the reference drives
+(diffusers CogVideoXTransformer3DModel, used at
+cogvideox_interpolation/pipeline.py:9-13,726-741): per-frame 2x2 patch
+embedding, text tokens prepended, joint full attention over
+[text; all video patches] with qk layernorm and 3D RoPE on the video
+tokens only, adaLN-Zero ("expert" LayerNormZero with separate video/text
+gates) conditioning from the sinusoidal timestep embedding, GELU MLP,
+final AdaLayerNorm + linear unpatchify.
+
+TPU-first choices: attention runs as one fused jnp.einsum softmax over the
+~17.8k-token sequence in bf16 (flash/splash Pallas kernel is a planned
+drop-in at attention()); tensor-parallel sharding splits heads and MLP
+hidden on the mesh 'model' axis via logical sharding constraints.
+
+Shapes: latents [B, F, C, H, W] (13 latent frames at 49 video frames,
+pipeline.py:284-291), text [B, L, text_dim].
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    # defaults = CogVideoX-5b(-I2V) scale (the reference's fine-tune base)
+    num_layers: int = 42
+    num_heads: int = 48
+    head_dim: int = 64
+    in_channels: int = 32          # 16 noisy + 16 conditioning latents
+    out_channels: int = 16
+    patch_size: int = 2
+    text_embed_dim: int = 4096
+    time_embed_dim: int = 512
+    timestep_activation_fn: str = "silu"
+    use_rotary: bool = True
+    rope_base: float = 10000.0
+    attn_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def hidden(self) -> int:
+        return self.num_heads * self.head_dim
+
+
+def sinusoidal_timestep(t: jnp.ndarray, dim: int,
+                        max_period: float = 10000.0) -> jnp.ndarray:
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def rope_3d(cfg: TransformerConfig, frames: int, height: int, width: int):
+    """3D rotary embeddings over (t, h, w) patch grid, matching diffusers'
+    get_3d_rotary_pos_embed split: head_dim partitioned 1/4 temporal,
+    3/8 height, 3/8 width (pipeline.py:472-497 usage).
+
+    Returns (cos, sin) each [frames*height*width, head_dim//2]."""
+    assert cfg.head_dim % 16 == 0, "3D RoPE needs head_dim % 16 == 0"
+    dim_t = cfg.head_dim // 4
+    dim_h = cfg.head_dim * 3 // 8
+    dim_w = cfg.head_dim * 3 // 8
+
+    def axis_freqs(n, dim):
+        inv = 1.0 / (cfg.rope_base ** (jnp.arange(0, dim, 2) / dim))
+        return jnp.outer(jnp.arange(n, dtype=jnp.float32), inv)  # [n, dim/2]
+
+    ft = axis_freqs(frames, dim_t)
+    fh = axis_freqs(height, dim_h)
+    fw = axis_freqs(width, dim_w)
+    # broadcast to the full (t, h, w) grid, concat along the freq axis
+    t_grid = jnp.broadcast_to(ft[:, None, None, :],
+                              (frames, height, width, dim_t // 2))
+    h_grid = jnp.broadcast_to(fh[None, :, None, :],
+                              (frames, height, width, dim_h // 2))
+    w_grid = jnp.broadcast_to(fw[None, None, :, :],
+                              (frames, height, width, dim_w // 2))
+    freqs = jnp.concatenate([t_grid, h_grid, w_grid], axis=-1)
+    freqs = freqs.reshape(frames * height * width, -1)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x [..., T, D] with interleaved-pair rotation (diffusers
+    apply_rotary_emb use_real_unbind_dim=-1 convention)."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rx1 = x1 * cos - x2 * sin
+    rx2 = x2 * cos + x1 * sin
+    return jnp.stack([rx1, rx2], axis=-1).reshape(x.shape)
+
+
+class LayerNormZero(nn.Module):
+    """CogVideoXLayerNormZero: SiLU(temb) -> 6*hidden; LN then per-stream
+    (video/text) shift/scale, returning gates for the residual add."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, video, text, temb):
+        emb = nn.Dense(6 * self.hidden, name="linear")(nn.silu(temb))
+        shift, scale, gate, t_shift, t_scale, t_gate = jnp.split(emb, 6, -1)
+        norm = nn.LayerNorm(epsilon=1e-5, use_bias=True, use_scale=True,
+                            name="norm")
+        video = norm(video) * (1 + scale[:, None]) + shift[:, None]
+        text = norm(text) * (1 + t_scale[:, None]) + t_shift[:, None]
+        return video, text, gate[:, None], t_gate[:, None]
+
+
+def attention(q, k, v, dtype):
+    """Joint full attention [B, H, T, D]. XLA fuses this well for ~18k
+    tokens on one chip; a Pallas splash-attention kernel drops in here for
+    longer sequences / ring attention over the 'data' axis."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(dtype), k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs, v.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(jnp.float32)
+
+
+class JointAttention(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, video, text, rope):
+        cfg = self.cfg
+        B, Tv, _ = video.shape
+        Tt = text.shape[1]
+        x = jnp.concatenate([text, video], axis=1)
+
+        def heads(name):
+            y = nn.Dense(cfg.hidden, name=name)(x)
+            return y.reshape(B, Tt + Tv, cfg.num_heads, cfg.head_dim
+                             ).transpose(0, 2, 1, 3)
+
+        q, k, v = heads("to_q"), heads("to_k"), heads("to_v")
+        # qk layernorm (CogVideoX norm_q/norm_k)
+        q = nn.LayerNorm(epsilon=1e-6, name="norm_q")(q)
+        k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(k)
+        if rope is not None:
+            cos, sin = rope
+            q = q.at[:, :, Tt:].set(apply_rope(q[:, :, Tt:], cos, sin))
+            k = k.at[:, :, Tt:].set(apply_rope(k[:, :, Tt:], cos, sin))
+        out = attention(q, k, v, cfg.attn_dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tt + Tv, cfg.hidden)
+        out = nn.Dense(cfg.hidden, name="to_out")(out)
+        # shard the head projection over the model axis
+        out = nn.with_logical_constraint(out, ("batch", None, "embed"))
+        return out[:, Tt:], out[:, :Tt]
+
+
+class FeedForward(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(4 * self.hidden, name="fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        h = nn.with_logical_constraint(h, ("batch", None, "mlp"))
+        return nn.Dense(self.hidden, name="fc2")(h)
+
+
+class Block(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, video, text, temb, rope):
+        cfg = self.cfg
+        nv, nt, g, tg = LayerNormZero(cfg.hidden, name="norm1")(video, text, temb)
+        av, at = JointAttention(cfg, name="attn")(nv, nt, rope)
+        video = video + g * av
+        text = text + tg * at
+
+        nv, nt, g, tg = LayerNormZero(cfg.hidden, name="norm2")(video, text, temb)
+        x = jnp.concatenate([nt, nv], axis=1)
+        ff = FeedForward(cfg.hidden, name="ff")(x)
+        Tt = text.shape[1]
+        video = video + g * ff[:, Tt:]
+        text = text + tg * ff[:, :Tt]
+        return video, text
+
+
+class CogVideoXTransformer(nn.Module):
+    cfg: TransformerConfig = TransformerConfig()
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray, text: jnp.ndarray,
+                 timestep: jnp.ndarray) -> jnp.ndarray:
+        """latents [B,F,C,H,W], text [B,L,text_dim], timestep [B]."""
+        cfg = self.cfg
+        B, F, C, H, W = latents.shape
+        p = cfg.patch_size
+        Hp, Wp = H // p, W // p
+
+        # patch embed: 2x2 conv per frame (CogVideoXPatchEmbed)
+        x = latents.reshape(B * F, C, H, W).transpose(0, 2, 3, 1)
+        x = nn.Conv(cfg.hidden, (p, p), strides=(p, p), name="patch_embed")(x)
+        x = x.reshape(B, F * Hp * Wp, cfg.hidden)
+
+        text_h = nn.Dense(cfg.hidden, name="text_proj")(text)
+
+        # timestep conditioning (sinusoidal -> MLP, flip_sin_to_cos conv.)
+        temb = sinusoidal_timestep(timestep, cfg.time_embed_dim // 2 * 2)
+        temb = nn.Dense(cfg.time_embed_dim, name="time_fc1")(temb)
+        temb = nn.silu(temb)
+        temb = nn.Dense(cfg.hidden, name="time_fc2")(temb)
+
+        rope = rope_3d(cfg, F, Hp, Wp) if cfg.use_rotary else None
+
+        video = x
+        for i in range(cfg.num_layers):
+            video, text_h = Block(cfg, name=f"block_{i}")(video, text_h,
+                                                          temb, rope)
+
+        joint = jnp.concatenate([text_h, video], axis=1)
+        joint = nn.LayerNorm(epsilon=1e-5, name="norm_final")(joint)
+        video = joint[:, text_h.shape[1]:]
+
+        # AdaLayerNorm final (norm_out): SiLU(temb) -> 2*hidden shift/scale
+        mod = nn.Dense(2 * cfg.hidden, name="norm_out_linear")(nn.silu(temb))
+        shift, scale = jnp.split(mod, 2, -1)
+        video = nn.LayerNorm(epsilon=1e-5, name="norm_out")(video)
+        video = video * (1 + scale[:, None]) + shift[:, None]
+
+        video = nn.Dense(cfg.out_channels * p * p, name="proj_out")(video)
+        # unpatchify -> [B,F,C_out,H,W]
+        video = video.reshape(B, F, Hp, Wp, p, p, cfg.out_channels)
+        video = video.transpose(0, 1, 6, 2, 4, 3, 5).reshape(
+            B, F, cfg.out_channels, H, W)
+        return video

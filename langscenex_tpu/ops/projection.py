@@ -94,18 +94,23 @@ def preprocess(
     gradients used for densification (the JAX analogue of the reference's
     ``screenspace_points`` trick, gaussian_renderer/__init__.py:61-67).
     """
+    # Component-wise math on [P] vectors throughout: [P,3] intermediates
+    # pad 3 -> 128 lanes on TPU (see covariance.py layout note).
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+
     # Frustum cull on camera-space depth
-    p_view = means3d @ cam.w2c[:3, :3].T + cam.w2c[:3, 3]
-    depth = p_view[..., 2]
+    w2c = cam.w2c
+    depth = w2c[2, 0] * mx + w2c[2, 1] * my + w2c[2, 2] * mz + w2c[2, 3]
     in_front = depth > NEAR_CULL_Z
 
     # Project to NDC -> pixels (transformPoint4x4 + ndc2Pix)
     fp = cam.full_proj
-    hom = means3d @ fp[:3, :3].T + fp[:3, 3]
-    w = means3d @ fp[3, :3].T + fp[3, 3]
-    p_proj = hom / (w[..., None] + 1e-7)
-    mean2d = jnp.stack([ndc_to_pix(p_proj[..., 0], cam.width),
-                        ndc_to_pix(p_proj[..., 1], cam.height)], -1)
+    hx = fp[0, 0] * mx + fp[0, 1] * my + fp[0, 2] * mz + fp[0, 3]
+    hy = fp[1, 0] * mx + fp[1, 1] * my + fp[1, 2] * mz + fp[1, 3]
+    hw = fp[3, 0] * mx + fp[3, 1] * my + fp[3, 2] * mz + fp[3, 3]
+    inv_w = 1.0 / (hw + 1e-7)
+    mean2d = jnp.stack([ndc_to_pix(hx * inv_w, cam.width),
+                        ndc_to_pix(hy * inv_w, cam.height)], -1)
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
@@ -134,10 +139,11 @@ def preprocess(
         rgb = colors_precomp
     else:
         assert shs is not None
-        dirs = means3d - cam.cam_center
-        dirs = dirs / jnp.sqrt(jnp.maximum(
-            jnp.sum(dirs * dirs, -1, keepdims=True), 1e-24))
-        rgb = sh_ops.sh_to_rgb(sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
+        cc = cam.cam_center
+        dx, dy, dz = mx - cc[0], my - cc[1], mz - cc[2]
+        inv_n = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        rgb = sh_ops.sh_to_rgb_fast(sh_degree, shs,
+                                    dx * inv_n, dy * inv_n, dz * inv_n)
 
     return ProcessedSplats(
         mean2d=mean2d, depth=depth, conic=conic, radius=radius, rgb=rgb,

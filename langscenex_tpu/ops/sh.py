@@ -78,6 +78,52 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
 
 
+def sh_basis(deg: int, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray):
+    """Real SH basis values as a list of (deg+1)^2 arrays shaped like x.
+
+    Component form (inputs are [P] vectors, not [P,3]) so TPU intermediates
+    stay lane-dense — see covariance.py layout note."""
+    basis = [jnp.full_like(x, C0)]
+    if deg > 0:
+        basis += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [C2[0] * xy, C2[1] * yz, C2[2] * (2 * zz - xx - yy),
+                      C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                basis += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+                          C3[2] * y * (4 * zz - xx - yy),
+                          C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                          C3[4] * x * (4 * zz - xx - yy),
+                          C3[5] * z * (xx - yy), C3[6] * x * (xx - 3 * yy)]
+                if deg > 3:
+                    basis += [C4[0] * xy * (xx - yy),
+                              C4[1] * yz * (3 * xx - yy),
+                              C4[2] * xy * (7 * zz - 1),
+                              C4[3] * yz * (7 * zz - 3),
+                              C4[4] * (zz * (35 * zz - 30) + 3),
+                              C4[5] * xz * (7 * zz - 3),
+                              C4[6] * (xx - yy) * (7 * zz - 1),
+                              C4[7] * xz * (xx - 3 * yy),
+                              C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))]
+    return basis
+
+
+def sh_to_rgb_fast(deg: int, shs: jnp.ndarray, dx, dy, dz) -> jnp.ndarray:
+    """Clamped SH->RGB on [P,K,3] coefficients with direction components
+    given as [P] vectors. Equivalent to sh_to_rgb but lane-dense."""
+    basis = sh_basis(deg, dx, dy, dz)
+    chans = []
+    for c in range(3):
+        acc = basis[0] * shs[:, 0, c]
+        for k in range(1, len(basis)):
+            acc = acc + basis[k] * shs[:, k, c]
+        chans.append(acc)
+    rgb = jnp.stack(chans, -1)
+    return jnp.maximum(rgb + 0.5, 0.0)
+
+
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
     """(rgb - 0.5)/C0 - DC coefficient init (sh_utils.py RGB2SH)."""
     return (rgb - 0.5) / C0

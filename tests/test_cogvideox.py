@@ -1,0 +1,186 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langscenex_tpu.models.cogvideox.transformer import (
+    CogVideoXTransformer, TransformerConfig, rope_3d, apply_rope,
+    sinusoidal_timestep)
+from langscenex_tpu.models.cogvideox.scheduler import (
+    DDIMScheduler, DPMSolverScheduler, SchedulerConfig, _alphas_cumprod)
+from langscenex_tpu.models.cogvideox.pipeline import (
+    PipelineConfig, prepare_interpolation_latents, denoise_loop,
+    InterpolationPipeline)
+
+TINY = TransformerConfig(num_layers=2, num_heads=4, head_dim=16,
+                         in_channels=8, out_channels=4, patch_size=2,
+                         text_embed_dim=16, time_embed_dim=32,
+                         attn_dtype=jnp.float32)
+
+
+class TestTransformer:
+    def _model_and_params(self, key=0):
+        model = CogVideoXTransformer(TINY)
+        lat = jnp.zeros((1, 3, 8, 8, 12))      # [B,F,C,H,W]
+        txt = jnp.zeros((1, 5, 16))
+        t = jnp.zeros((1,), jnp.int32)
+        params = model.init(jax.random.PRNGKey(key), lat, txt, t)
+        return model, params
+
+    def test_shapes(self):
+        model, params = self._model_and_params()
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(2, 3, 8, 8, 12)).astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        t = jnp.array([10, 500], jnp.int32)
+        out = model.apply(params, lat, txt, t)
+        assert out.shape == (2, 3, 4, 8, 12)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_timestep_conditioning_changes_output(self):
+        model, params = self._model_and_params()
+        rng = np.random.default_rng(1)
+        lat = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 12)).astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(1, 5, 16)).astype(np.float32))
+        o1 = model.apply(params, lat, txt, jnp.array([10], jnp.int32))
+        o2 = model.apply(params, lat, txt, jnp.array([900], jnp.int32))
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_jittable(self):
+        model, params = self._model_and_params()
+        f = jax.jit(lambda p, l, x, t: model.apply(p, l, x, t))
+        lat = jnp.zeros((1, 3, 8, 8, 12))
+        out = f(params, lat, jnp.zeros((1, 5, 16)), jnp.zeros((1,), jnp.int32))
+        assert out.shape == (1, 3, 4, 8, 12)
+
+    def test_rope_properties(self):
+        cos, sin = rope_3d(TINY, 3, 4, 6)
+        assert cos.shape == (72, TINY.head_dim // 2)
+        # rotation preserves vector norm
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 2, 72, TINY.head_dim)).astype(np.float32))
+        rx = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(rx), axis=-1),
+                                   np.linalg.norm(np.asarray(x), axis=-1),
+                                   rtol=1e-5)
+        # position 0 is identity
+        np.testing.assert_allclose(np.asarray(rx[:, :, 0]),
+                                   np.asarray(x[:, :, 0]), atol=1e-6)
+
+    def test_sinusoidal(self):
+        e = sinusoidal_timestep(jnp.array([0.0, 100.0]), 64)
+        assert e.shape == (2, 64)
+        np.testing.assert_allclose(np.asarray(e[0, :32]), 1.0, atol=1e-6)  # cos(0)
+        np.testing.assert_allclose(np.asarray(e[0, 32:]), 0.0, atol=1e-6)  # sin(0)
+
+
+class TestScheduler:
+    def test_zero_snr_terminal(self):
+        ac = _alphas_cumprod(SchedulerConfig())
+        assert ac[-1] < 1e-8            # zero SNR at terminal step
+        assert ac[0] > 0.99
+
+    def test_trailing_timesteps(self):
+        s = DDIMScheduler()
+        ts = np.asarray(s.timesteps(50))
+        assert ts[0] == 999 and len(ts) == 50
+        assert np.all(np.diff(ts) < 0)
+
+    def test_ddim_roundtrip_denoises(self):
+        """With a perfect v-prediction oracle, DDIM recovers x0."""
+        s = DDIMScheduler()
+        rng = np.random.default_rng(3)
+        x0 = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+        noise = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+        ts = s.timesteps(50)
+        sample = s.add_noise(x0, noise, ts[0])
+
+        def oracle_v(sample_t, t):
+            # derive eps consistent with the fixed x0 at this sample
+            a = s.alphas_cumprod[t]
+            eps = (sample_t - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+            return jnp.sqrt(a) * eps - jnp.sqrt(1 - a) * x0
+
+        for i in range(50):
+            t = ts[i]
+            t_prev = ts[i + 1] if i + 1 < 50 else jnp.asarray(-1)
+            sample = s.step(oracle_v(sample, t), t, t_prev, sample)
+        np.testing.assert_allclose(np.asarray(sample), np.asarray(x0),
+                                   atol=1e-3)
+
+    def test_velocity_identity(self):
+        s = DDIMScheduler()
+        rng = np.random.default_rng(4)
+        x0 = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+        eps = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+        t = jnp.array([100, 700])
+        xt = s.add_noise(x0, eps, t)
+        v = s.get_velocity(x0, eps, t)
+        # x0 = sqrt(a) x_t - sqrt(1-a) v
+        a = np.asarray(s.alphas_cumprod)[np.asarray(t)][:, None]
+        rec = np.sqrt(a) * np.asarray(xt) - np.sqrt(1 - a) * np.asarray(v)
+        np.testing.assert_allclose(rec, np.asarray(x0), atol=1e-5)
+
+    def test_dpm_runs(self):
+        s = DPMSolverScheduler()
+        rng = np.random.default_rng(5)
+        sample = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+        state = s.init_state(sample.shape)
+        ts = s.timesteps(10)
+        for i in range(10):
+            t = ts[i]
+            t_prev = ts[i + 1] if i + 1 < 10 else jnp.asarray(-1)
+            t_next = ts[i + 2] if i + 2 < 10 else jnp.asarray(-1)
+            mo = jnp.zeros_like(sample)
+            sample, state = s.step_dpm(state, mo, t, t_prev, t_next, sample)
+        assert np.all(np.isfinite(np.asarray(sample)))
+
+
+class TestPipeline:
+    def test_prepare_latents(self):
+        cfg = PipelineConfig(num_frames=9, height=32, width=48,
+                             latent_channels=4)
+        first = jnp.ones((1, 1, 4, 4, 6))
+        last = 2 * jnp.ones((1, 1, 4, 4, 6))
+        noise, img = prepare_interpolation_latents(
+            jax.random.PRNGKey(0), first, last, cfg)
+        assert img.shape == (1, 3, 4, 4, 6)
+        np.testing.assert_array_equal(np.asarray(img[:, 0]), 1.0)
+        np.testing.assert_array_equal(np.asarray(img[:, 1]), 0.0)
+        np.testing.assert_array_equal(np.asarray(img[:, -1]), 2.0)
+        assert noise.shape == img.shape
+
+    def test_full_pipeline_tiny(self):
+        """End-to-end with a tiny DiT and identity VAE stubs."""
+        cfg = PipelineConfig(num_frames=9, height=16, width=24,
+                             num_inference_steps=4, latent_channels=4,
+                             vae_scale_factor_spatial=2,
+                             vae_scale_factor_temporal=4,
+                             vae_scaling_factor=1.0)
+        tcfg = TransformerConfig(num_layers=1, num_heads=2, head_dim=16,
+                                 in_channels=8, out_channels=4, patch_size=2,
+                                 text_embed_dim=8, time_embed_dim=16,
+                                 attn_dtype=jnp.float32)
+        model = CogVideoXTransformer(tcfg)
+        lat0 = jnp.zeros((2, 3, 8, 8, 12))
+        txt0 = jnp.zeros((2, 3, 8))
+        params = model.init(jax.random.PRNGKey(0), lat0, txt0,
+                            jnp.zeros((2,), jnp.int32))
+
+        def denoiser(x, text, t):
+            return model.apply(params, x, text, t)
+
+        vae_encode = lambda imgs: jnp.mean(
+            imgs.reshape(imgs.shape[0], imgs.shape[1], 3, 8, 2, 12, 2),
+            axis=(-3, -1))[:, :, :3].repeat(2, axis=2)[:, :, :4]
+        vae_decode = lambda lat: lat
+
+        pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
+                                     DDIMScheduler(), cfg)
+        rng = np.random.default_rng(6)
+        first = jnp.asarray(rng.uniform(-1, 1, (1, 3, 16, 24)).astype(np.float32))
+        last = jnp.asarray(rng.uniform(-1, 1, (1, 3, 16, 24)).astype(np.float32))
+        out = pipe(jax.random.PRNGKey(1), first, last,
+                   jnp.zeros((1, 3, 8)), jnp.zeros((1, 3, 8)))
+        assert out.shape == (1, 3, 4, 8, 12)
+        assert np.all(np.isfinite(np.asarray(out)))

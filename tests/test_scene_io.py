@@ -1,0 +1,84 @@
+import os
+
+import numpy as np
+import pytest
+
+from langscenex_tpu.scene import colmap_io
+from langscenex_tpu.scene.dataset_readers import (
+    read_cut3r_scene, read_ply_points, write_ply_points, load_scene,
+    nerfpp_norm)
+
+
+def make_npz_scene(tmp_path, n=4, W=64, H=48):
+    cam_dir = tmp_path / "camera"
+    cam_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        ang = i * 0.1
+        Rz = np.array([[np.cos(ang), 0, np.sin(ang)],
+                       [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]])
+        pose = np.eye(4)
+        pose[:3, :3] = Rz
+        pose[:3, 3] = [i * 0.1, 0, -3]
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]])
+        np.savez(cam_dir / f"{i:04d}.npz", pose=pose, intrinsics=K)
+    pts = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    write_ply_points(str(tmp_path / "points3D.ply"), pts, cols)
+    return pts, cols
+
+
+class TestNpzScene:
+    def test_roundtrip(self, tmp_path):
+        pts, cols = make_npz_scene(tmp_path)
+        info = read_cut3r_scene(str(tmp_path))
+        assert len(info.cameras) == 4
+        cam = info.cameras[0]
+        assert (cam.width, cam.height) == (64, 48)
+        np.testing.assert_allclose(info.points, pts, atol=1e-6)
+        np.testing.assert_allclose(info.colors, cols, atol=2e-2)
+        # camera 0: identity rotation, center at (0,0,-3)
+        np.testing.assert_allclose(cam.cam_center, [0, 0, -3], atol=1e-5)
+
+    def test_load_scene_nearest(self, tmp_path):
+        make_npz_scene(tmp_path)
+        info = load_scene(str(tmp_path), kind="cut3r", max_dis=10.0,
+                          shuffle=False)
+        assert any(c.nearest_id for c in info.cameras)
+        assert info.nerf_norm_radius > 0
+
+
+class TestColmapText:
+    def test_text_roundtrip(self, tmp_path):
+        cams = {1: colmap_io.ColmapCamera(1, "PINHOLE", 64, 48,
+                                          np.array([80.0, 80.0, 32.0, 24.0]))}
+        q = np.array([0.9238795, 0.0, 0.3826834, 0.0])
+        imgs = {1: colmap_io.ColmapImage(1, q, np.array([0.1, 0.2, 0.3]),
+                                         1, "0001.png")}
+        colmap_io.write_cameras_text(cams, str(tmp_path / "cameras.txt"))
+        colmap_io.write_images_text(imgs, str(tmp_path / "images.txt"))
+        cams2 = colmap_io.read_cameras_text(str(tmp_path / "cameras.txt"))
+        imgs2 = colmap_io.read_images_text(str(tmp_path / "images.txt"))
+        assert cams2[1].model == "PINHOLE"
+        np.testing.assert_allclose(cams2[1].params, cams[1].params)
+        np.testing.assert_allclose(imgs2[1].qvec, q)
+        np.testing.assert_allclose(imgs2[1].tvec, [0.1, 0.2, 0.3])
+
+    def test_qvec_rotmat(self):
+        q = np.array([1.0, 0, 0, 0])
+        np.testing.assert_allclose(colmap_io.qvec_to_rotmat(q), np.eye(3))
+
+
+class TestPly:
+    def test_ascii_and_binary(self, tmp_path):
+        pts = np.array([[0, 0, 0], [1, 2, 3]], np.float32)
+        write_ply_points(str(tmp_path / "b.ply"), pts)
+        p2, c2 = read_ply_points(str(tmp_path / "b.ply"))
+        np.testing.assert_allclose(p2, pts)
+        # ascii variant
+        with open(tmp_path / "a.ply", "w") as f:
+            f.write("ply\nformat ascii 1.0\nelement vertex 2\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    "end_header\n0 0 0\n1 2 3\n")
+        p3, _ = read_ply_points(str(tmp_path / "a.ply"))
+        np.testing.assert_allclose(p3, pts)
