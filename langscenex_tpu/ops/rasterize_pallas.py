@@ -9,15 +9,20 @@ formulation proven equivalent in rasterize.py.
 
 TPU mapping:
   - a tile is 8x128 pixels, flattened to 1024 lanes per row vector
-  - the Gaussian falloff ``power`` is a rank-6 bilinear form: per-splat
-    coefficients u(s) x per-pixel basis v(p) = [1, px, py, px^2, py^2,
-    px*py], evaluated as one [S,8]x[8,1024]-style MXU contraction
-  - front-to-back transmittance is a masked cumulative product computed in
-    log space with an [S,S] lower-triangular ones matmul (MXU) instead of a
-    sequential per-splat loop
+  - per-splat data travels as ONE raw payload matrix [32, A] in pair-
+    aligned order (rows: xs ys a b c opacity ch0..13 pad); it is built
+    with two full-bandwidth ROW gathers + one transpose — per-component
+    lane gathers cost ~16ms each at A~1.6M, the row-gather path ~0.1ms
+  - the Gaussian falloff ``power`` is evaluated per chunk as a rank-6
+    bilinear form u(s).v(p) on the MXU, with u computed IN-KERNEL from the
+    raw rows in tile-center-relative coordinates (f32 cancellation: global
+    pixel coords put px^2 ~ 5e5 against |power| <= ~10)
+  - front-to-back transmittance is a masked cumulative product in log
+    space via an [S,S] lower-triangular ones matmul (MXU)
   - channel accumulation is a [16,S]x[S,1024] matmul (MXU)
-  - per-tile pair lists live in a 128-aligned segmented layout streamed
-    from HBM with double-buffered DMA
+  - per-tile segments are 128-aligned so chunk DMA slices land on native
+    tiles; segment lookup tables use marker-scatter + cummax (searchsorted
+    compiles to pathological ~110ms while loops at this scale)
 
 The backward pass re-walks chunks in FORWARD order: the suffix sums needed
 for d/dalpha are (total - inclusive prefix), with the total read from the
@@ -45,17 +50,21 @@ S_CHUNK = 128          # splats per chunk (lane-aligned)
 TILE_H = 8
 TILE_W = 128
 NPX = TILE_H * TILE_W  # 1024 pixels per tile, flattened on the lane axis
+ROWS = 32              # payload rows
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 LOG_T_EPS = float(np.log(1e-4))
+CENTER_X = 64.0        # tile-center offsets (see module docstring)
+CENTER_Y = 4.0
 
 
 class AlignedPairs(NamedTuple):
     """128-aligned segmented pair layout (see build_aligned_pairs)."""
+    src: jnp.ndarray        # [A] int32 index into the sorted pair list
+                            #     (== list_len for padding slots)
     ids: jnp.ndarray        # [A] int32 splat id per slot (-1 = padding)
     starts: jnp.ndarray     # [n_tiles] int32, multiples of 128
     counts: jnp.ndarray     # [n_tiles] int32 true per-tile counts
-    slot_tile: jnp.ndarray  # [A] int32 tile index of every slot
 
 
 def aligned_capacity(list_len: int, n_tiles: int) -> int:
@@ -64,22 +73,17 @@ def aligned_capacity(list_len: int, n_tiles: int) -> int:
 
 def _segment_lookup(boundary_pos: jnp.ndarray, values: jnp.ndarray,
                     length: int) -> jnp.ndarray:
-    """For segments starting at ``boundary_pos`` (sorted, possibly equal for
-    empty segments) carrying nondecreasing ``values``, return the per-index
-    effective value over [0, length): a 360-element max-scatter + cummax.
-
-    This replaces searchsorted-based lookups, which XLA compiles to while
-    loops with pathological fusions at this scale (measured ~110ms for 1.6M
-    queries vs ~0.05ms for this formulation).
-    """
+    """Per-index effective segment value over [0, length) for segments
+    starting at ``boundary_pos`` (sorted, may repeat for empty segments)
+    with nondecreasing ``values``: max-scatter of markers + cummax."""
     init = jnp.full((length,), jnp.iinfo(jnp.int32).min, jnp.int32)
     markers = init.at[jnp.clip(boundary_pos, 0, length - 1)].max(values)
     return jax.lax.cummax(markers, axis=0)
 
 
 def build_aligned_pairs(lists: TileLists, n_tiles: int) -> AlignedPairs:
-    """Repack the (tile,depth)-sorted pair list into per-tile segments whose
-    starts are 128-aligned so kernel DMA slices land on native tiles."""
+    """Map aligned slots -> sorted-pair positions (gather formulation: no
+    big scatter; per-slot maps come from cummax segment lookups)."""
     list_len = lists.point_list.shape[0]
     A = aligned_capacity(list_len, n_tiles)
     counts = lists.tile_counts
@@ -88,42 +92,28 @@ def build_aligned_pairs(lists: TileLists, n_tiles: int) -> AlignedPairs:
         jnp.zeros(1, jnp.int32),
         jnp.cumsum(aligned_counts)[:-1].astype(jnp.int32)])
 
-    # effective per-pair segment values (empty tiles collide at the same
-    # boundary; max picks the live one — its end/start dominate)
-    pos = jnp.arange(list_len, dtype=jnp.int32)
-    tstart_of = _segment_lookup(lists.tile_starts, lists.tile_starts, list_len)
-    tend_of = _segment_lookup(lists.tile_starts,
-                              lists.tile_starts + counts, list_len)
-    astart_of = _segment_lookup(lists.tile_starts, starts, list_len)
-    rank = pos - tstart_of
-    valid = pos < tend_of
-    dst = jnp.where(valid, astart_of + rank, A)
-    ids = jnp.full((A,), -1, jnp.int32).at[dst].set(
-        lists.point_list, mode='drop')
-
-    slot_tile = jnp.clip(
-        _segment_lookup(starts, jnp.arange(n_tiles, dtype=jnp.int32), A),
-        0, n_tiles - 1)
-    return AlignedPairs(ids=ids, starts=starts, counts=counts,
-                        slot_tile=slot_tile)
+    slot = jnp.arange(A, dtype=jnp.int32)
+    # per-slot: the aligned start and the sorted start/end of its tile
+    astart_of = _segment_lookup(starts, starts, A)
+    tstart_of = _segment_lookup(starts, lists.tile_starts, A)
+    tend_of = _segment_lookup(starts, lists.tile_starts + counts, A)
+    rank = slot - astart_of
+    src = tstart_of + rank
+    valid = src < tend_of
+    src = jnp.where(valid, src, list_len)
+    ids = jnp.where(valid,
+                    jnp.take(lists.point_list, jnp.minimum(src, list_len - 1),
+                             mode='clip'),
+                    -1)
+    return AlignedPairs(src=src, ids=ids, starts=starts, counts=counts)
 
 
 # ------------------------------------------------------------------ kernels
 
-# Pixel coordinates inside the kernel are TILE-CENTER-RELATIVE: the bilinear
-# power expansion u(s).v(p) suffers catastrophic f32 cancellation with
-# global pixel coordinates (px^2 ~ 5e5 vs |power| <= ~10); local coords keep
-# every term below ~1e4. The splat means are shifted by the same per-tile
-# offset on the host side (blend_tiles_pallas).
-CENTER_X = 64.0
-CENTER_Y = 4.0
-
-
-def _pixel_basis(tile_idx, grid_x):
+def _pixel_basis():
     """v(p): [8, NPX] rows = [1, px, py, px^2, py^2, px*py, 0, 0] in
     tile-center-relative coords, pixels flattened y-major
     (p = y*TILE_W + x) to match rasterize._untile."""
-    del tile_idx, grid_x  # local coords are tile-independent
     l = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
     px = (l % TILE_W).astype(jnp.float32) - CENTER_X
     py = (l // TILE_W).astype(jnp.float32) - CENTER_Y
@@ -139,13 +129,27 @@ def _lower_tri():
     return (c <= r).astype(jnp.float32)   # inclusive lower triangle
 
 
-def _chunk_state(u_chunk, v, remaining, carry_log, done):
-    """Shared forward recurrence for one chunk of S_CHUNK splats.
-    u_chunk: [8, S] rows u0..u5, opacity, pad."""
+def _local_u(raw, tile_cx, tile_cy):
+    """u rows [6, S] + (xsl, ysl, a, b, c, op) from raw payload [32, S] in
+    tile-center-relative coordinates."""
+    xsl = raw[0:1] - tile_cx
+    ysl = raw[1:2] - tile_cy
+    a, b, c = raw[2:3], raw[3:4], raw[4:5]
+    u = jnp.concatenate([
+        -0.5 * a * xsl * xsl - 0.5 * c * ysl * ysl - b * xsl * ysl,
+        a * xsl + b * ysl,
+        c * ysl + b * xsl,
+        -0.5 * a, -0.5 * c, -b], axis=0)
+    return u, xsl, ysl, a, b, c
+
+
+def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
+    """Shared forward recurrence for one chunk of S_CHUNK splats."""
+    u, xsl, ysl, a, b, c = _local_u(raw, tile_cx, tile_cy)
     power = jax.lax.dot_general(
-        u_chunk[:6], v[:6], (((0,), (0,)), ((), ())),
+        u, v[:6], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [S, NPX]
-    op = jax.lax.transpose(u_chunk[6:7], (1, 0))               # [S, 1]
+    op = jax.lax.transpose(raw[5:6], (1, 0))                   # [S, 1]
     ealpha = op * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, ealpha)
     row = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, 1), 0)
@@ -166,14 +170,21 @@ def _chunk_state(u_chunk, v, remaining, carry_log, done):
     return power, ealpha, alpha, include, T_excl, w, new_carry, new_done
 
 
+def _tile_center(t, grid_x):
+    cx = ((t % grid_x) * TILE_W + int(CENTER_X)).astype(jnp.float32)
+    cy = ((t // grid_x) * TILE_H + int(CENTER_Y)).astype(jnp.float32)
+    return cx, cy
+
+
 def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
-                u_hbm, ch_hbm, img_ref, obs_hbm,
-                u_buf, ch_buf, obs_buf, acc_ref, carry_ref, done_ref,
+                pay_hbm, img_ref, obs_hbm,
+                pay_buf, obs_buf, acc_ref, carry_ref, done_ref,
                 in_sems, obs_sem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    v = _pixel_basis(t, grid_x_ref[0])
+    tile_cx, tile_cy = _tile_center(t, grid_x_ref[0])
+    v = _pixel_basis()
     n_chunks = pl.cdiv(count, S_CHUNK)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -182,33 +193,29 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
 
     def dma_in(slot, ci):
         off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
-        return (pltpu.make_async_copy(u_hbm.at[:, pl.ds(off, S_CHUNK)],
-                                      u_buf.at[slot], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(ch_hbm.at[:, pl.ds(off, S_CHUNK)],
-                                      ch_buf.at[slot], in_sems.at[slot, 1]))
+        return pltpu.make_async_copy(pay_hbm.at[:, pl.ds(off, S_CHUNK)],
+                                     pay_buf.at[slot], in_sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
-        for d in dma_in(0, 0):
-            d.start()
+        dma_in(0, 0).start()
 
         def body(ci, _):
             slot = ci % 2
 
             @pl.when(ci + 1 < n_chunks)
             def _():
-                for d in dma_in((ci + 1) % 2, ci + 1):
-                    d.start()
-            for d in dma_in(slot, ci):
-                d.wait()
+                dma_in((ci + 1) % 2, ci + 1).start()
+            dma_in(slot, ci).wait()
 
+            raw = pay_buf[slot]
             (power, ealpha, alpha, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
-                u_buf[slot], v, count - ci * S_CHUNK, carry_ref[...],
-                done_ref[...])
+                raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
+                carry_ref[...], done_ref[...])
 
             acc_ref[...] += jax.lax.dot_general(
-                ch_buf[slot], w, (((1,), (0,)), ((), ())),
+                raw[6:22], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [16,S]x[S,NPX]
 
             obs = jnp.sum(jnp.where(include & (T_excl > 0.5), 1.0, 0.0),
@@ -231,26 +238,24 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
     img_ref[0, 17:18] = done_ref[...]
 
 
-def _blend_fwd_impl(u_t, ch_t, starts, counts, grid_x: int, n_tiles: int):
-    A = u_t.shape[1]
+def _blend_fwd_impl(pay_t, starts, counts, grid_x: int, n_tiles: int):
+    A = pay_t.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 18, NPX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, S_CHUNK), jnp.float32),
-            pltpu.VMEM((2, 16, S_CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, S_CHUNK), jnp.float32),
             pltpu.VMEM((16, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ])
     img, obs = pl.pallas_call(
@@ -261,20 +266,20 @@ def _blend_fwd_impl(u_t, ch_t, starts, counts, grid_x: int, n_tiles: int):
             jax.ShapeDtypeStruct((A // S_CHUNK, S_CHUNK), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, jnp.array([grid_x], jnp.int32), u_t, ch_t)
+    )(starts, counts, jnp.array([grid_x], jnp.int32), pay_t)
     return img, obs
 
 
 def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
-                u_hbm, ch_hbm, geom_hbm, gimg_ref, img_ref,
+                pay_hbm, gimg_ref, img_ref,
                 packed_hbm,
-                u_buf, ch_buf, geom_buf, out_buf,
-                carry_ref, done_ref, tot_ref,
+                pay_buf, out_buf, carry_ref, done_ref, tot_ref,
                 in_sems, out_sem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    v = _pixel_basis(t, grid_x_ref[0])
+    tile_cx, tile_cy = _tile_center(t, grid_x_ref[0])
+    v = _pixel_basis()
     n_chunks = pl.cdiv(count, S_CHUNK)
 
     carry_ref[...] = jnp.zeros_like(carry_ref)
@@ -288,38 +293,29 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
 
     def dma_in(slot, ci):
         off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
-        return (pltpu.make_async_copy(u_hbm.at[:, pl.ds(off, S_CHUNK)],
-                                      u_buf.at[slot], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(ch_hbm.at[:, pl.ds(off, S_CHUNK)],
-                                      ch_buf.at[slot], in_sems.at[slot, 1]),
-                pltpu.make_async_copy(geom_hbm.at[:, pl.ds(off, S_CHUNK)],
-                                      geom_buf.at[slot], in_sems.at[slot, 2]))
+        return pltpu.make_async_copy(pay_hbm.at[:, pl.ds(off, S_CHUNK)],
+                                     pay_buf.at[slot], in_sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
-        for d in dma_in(0, 0):
-            d.start()
+        dma_in(0, 0).start()
 
         def body(ci, prefix_carry):
             slot = ci % 2
 
             @pl.when(ci + 1 < n_chunks)
             def _():
-                for d in dma_in((ci + 1) % 2, ci + 1):
-                    d.start()
-            for d in dma_in(slot, ci):
-                d.wait()
+                dma_in((ci + 1) % 2, ci + 1).start()
+            dma_in(slot, ci).wait()
 
-            u_chunk = u_buf[slot]
-            ch_chunk = ch_buf[slot]
-            geom = geom_buf[slot]                    # [8,S]: xs ys a b c
+            raw = pay_buf[slot]
             (power, ealpha, alpha, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
-                u_chunk, v, count - ci * S_CHUNK, carry_ref[...],
-                done_ref[...])
+                raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
+                carry_ref[...], done_ref[...])
 
             chg = jax.lax.dot_general(
-                ch_chunk, g, (((0,), (0,)), ((), ())),
+                raw[6:22], g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [S, NPX]
             contrib = w * chg
             prefix = jax.lax.dot_general(
@@ -338,36 +334,46 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             du = jax.lax.dot_general(
                 dpower, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [S, 8]
-            dop_sum = jnp.sum(dop, axis=1, keepdims=True)
-            col = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, 8), 1)
-            du = jnp.where(col < 6, du, jnp.where(col == 6, dop_sum, 0.0))
+            duT = jax.lax.transpose(du, (1, 0))       # [8, S] rows du0..du5
+            dop_sum = jax.lax.transpose(
+                jnp.sum(dop, axis=1, keepdims=True), (1, 0))   # [1, S]
+
+            # chain rule u(raw) -> raw rows ([1,S] vector algebra)
+            _, xsl, ysl, a, b, c = _local_u(raw, tile_cx, tile_cy)
+            du0, du1, du2 = duT[0:1], duT[1:2], duT[2:3]
+            du3, du4, du5 = duT[3:4], duT[4:5], duT[5:6]
+            dxs = du0 * (-(a * xsl + b * ysl)) + du1 * a + du2 * b
+            dys = du0 * (-(c * ysl + b * xsl)) + du1 * b + du2 * c
+            da = du0 * (-0.5 * xsl * xsl) + du1 * xsl - 0.5 * du3
+            db = du0 * (-(xsl * ysl)) + du1 * ysl + du2 * xsl - du5
+            dc = du0 * (-0.5 * ysl * ysl) + du2 * ysl - 0.5 * du4
 
             dch = jax.lax.dot_general(
                 g, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [16, S]
 
             # exact abs screen grads (backward.cu:663-666 semantics)
-            xsT = jax.lax.transpose(geom[0:1], (1, 0))  # [S,1]
-            ysT = jax.lax.transpose(geom[1:2], (1, 0))
-            aT = jax.lax.transpose(geom[2:3], (1, 0))
-            bT = jax.lax.transpose(geom[3:4], (1, 0))
-            cT = jax.lax.transpose(geom[4:5], (1, 0))
+            xsT = jax.lax.transpose(xsl, (1, 0))      # [S, 1]
+            ysT = jax.lax.transpose(ysl, (1, 0))
+            aT = jax.lax.transpose(a, (1, 0))
+            bT = jax.lax.transpose(b, (1, 0))
+            cT = jax.lax.transpose(c, (1, 0))
             dx = xsT - v[1:2]
             dy = ysT - v[2:3]
             dmx = dpower * (-(aT * dx + bT * dy))
             dmy = dpower * (-(cT * dy + bT * dx))
-            absx = jnp.sum(jnp.abs(dmx), axis=1, keepdims=True)
-            absy = jnp.sum(jnp.abs(dmy), axis=1, keepdims=True)
-            dabs = jnp.where(col == 0, absx, jnp.where(col == 1, absy, 0.0))
+            absx = jax.lax.transpose(
+                jnp.sum(jnp.abs(dmx), axis=1, keepdims=True), (1, 0))
+            absy = jax.lax.transpose(
+                jnp.sum(jnp.abs(dmy), axis=1, keepdims=True), (1, 0))
 
-            out_buf[0, 0:8] = jax.lax.transpose(du, (1, 0))
-            out_buf[0, 8:24] = dch
-            out_buf[0, 24:32] = jax.lax.transpose(dabs, (1, 0))
+            zero = jnp.zeros((ROWS - 22, S_CHUNK), jnp.float32)
+            out_buf[...] = jnp.concatenate(
+                [dxs, dys, da, db, dc, dop_sum, dch, absx, absy,
+                 zero[:ROWS - 24]], axis=0)[None]
+            off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
             odma = pltpu.make_async_copy(
-                out_buf,
-                packed_hbm.at[:, :, pl.ds(
-                    pl.multiple_of(start + ci * S_CHUNK, S_CHUNK), S_CHUNK)],
-                out_sem)
+                out_buf, packed_hbm.at[:, :, pl.ds(off, S_CHUNK)], out_sem)
             odma.start()
 
             carry_ref[...] = new_carry
@@ -380,68 +386,63 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                           jnp.zeros((1, NPX), jnp.float32))
 
 
-def _blend_bwd_impl(u_t, ch_t, geom_t, starts, counts, img, gimg,
+def _blend_bwd_impl(pay_t, starts, counts, img, gimg,
                     grid_x: int, n_tiles: int):
-    A = u_t.shape[1]
+    A = pay_t.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 18, NPX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 18, NPX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, S_CHUNK), jnp.float32),
-            pltpu.VMEM((2, 16, S_CHUNK), jnp.float32),
-            pltpu.VMEM((2, 8, S_CHUNK), jnp.float32),
-            pltpu.VMEM((1, 32, S_CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROWS, S_CHUNK), jnp.float32),
+            pltpu.VMEM((1, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ])
     packed, = pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, 32, A), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((1, ROWS, A), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, jnp.array([grid_x], jnp.int32),
-      u_t, ch_t, geom_t, gimg, img)
-    return packed[0, 0:8], packed[0, 8:24], packed[0, 24:32]
+    )(starts, counts, jnp.array([grid_x], jnp.int32), pay_t, gimg, img)
+    return packed[0]
 
 
 # ------------------------------------------------- custom-vjp pair blend
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def blend_pairs(u_t, ch_t, geom_t, abs_hook, starts, counts,
-                grid_x, n_tiles):
-    """(img [n_tiles,18,NPX], obs [A/128,128]) from pair arrays.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def blend_pairs(pay_t, abs_hook, starts, counts, grid_x, n_tiles):
+    """(img [n_tiles,18,NPX], obs [A/128,128]) from the raw pair payload.
 
-    u_t [8,A]: u0..u5, opacity, 0. ch_t [16,A]: blend channels (padded).
-    geom_t [8,A]: xs, ys, a, b, c (backward-only). abs_hook [A,2]: zeros;
-    its cotangent carries the exact abs screen-gradients.
+    pay_t [32,A] rows: xs, ys, a, b, c, opacity, ch0..ch13, pad (global
+    pixel-space xs/ys; the kernel shifts to tile-local). abs_hook [A,2]
+    zeros; its cotangent carries the exact abs screen-gradients.
     """
-    return _blend_fwd_impl(u_t, ch_t, starts, counts, grid_x, n_tiles)
+    return _blend_fwd_impl(pay_t, starts, counts, grid_x, n_tiles)
 
 
-def _bp_fwd(u_t, ch_t, geom_t, abs_hook, starts, counts, grid_x, n_tiles):
-    img, obs = _blend_fwd_impl(u_t, ch_t, starts, counts, grid_x, n_tiles)
-    return (img, obs), (u_t, ch_t, geom_t, starts, counts, img)
+def _bp_fwd(pay_t, abs_hook, starts, counts, grid_x, n_tiles):
+    img, obs = _blend_fwd_impl(pay_t, starts, counts, grid_x, n_tiles)
+    return (img, obs), (pay_t, starts, counts, img)
 
 
 def _bp_bwd(grid_x, n_tiles, res, cot):
-    u_t, ch_t, geom_t, starts, counts, img = res
+    pay_t, starts, counts, img = res
     gimg, _ = cot
-    du, dch, dabs = _blend_bwd_impl(u_t, ch_t, geom_t, starts, counts,
-                                    img, gimg, grid_x, n_tiles)
-    dhook = jax.lax.transpose(dabs[0:2], (1, 0))
+    packed = _blend_bwd_impl(pay_t, starts, counts, img, gimg,
+                             grid_x, n_tiles)
+    dpay = packed.at[22:].set(0.0)        # abs rows are not payload grads
+    dhook = jax.lax.transpose(packed[22:24], (1, 0))
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (du, dch, jnp.zeros_like(geom_t), dhook, f0(starts), f0(counts))
+    return dpay, dhook, f0(starts), f0(counts)
 
 
 blend_pairs.defvjp(_bp_fwd, _bp_bwd)
@@ -465,48 +466,32 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
     assert C <= 16
 
     ap = build_aligned_pairs(lists, n_tiles)
-    ids = ap.ids
-    pad = ids < 0
-    safe = jnp.where(pad, 0, ids)
+    list_len = lists.point_list.shape[0]
 
-    # tile-center-relative splat coordinates per slot (see _pixel_basis)
-    tile_cx = (ap.slot_tile % grid_x).astype(jnp.float32) * TILE_W + CENTER_X
-    tile_cy = (ap.slot_tile // grid_x).astype(jnp.float32) * TILE_H + CENTER_Y
-    a = conic[safe, 0]
-    b = conic[safe, 1]
-    c = conic[safe, 2]
-    xs = mean2d[safe, 0] - tile_cx
-    ys = mean2d[safe, 1] - tile_cy
-    op = opacity[safe]
-    zero = jnp.zeros_like(a)
-    u = jnp.stack([
-        -0.5 * a * xs * xs - 0.5 * c * ys * ys - b * xs * ys,
-        a * xs + b * ys,
-        c * ys + b * xs,
-        -0.5 * a, -0.5 * c, -b,
-        op, zero], axis=0)                            # [8, A]
-    u_t = jnp.where(pad[None, :], 0.0, u)
+    # payload [P, 32] -> pair order -> aligned order (row gathers)
+    pad_cols = jnp.zeros((P, ROWS - 6 - C), jnp.float32)
+    payload = jnp.concatenate(
+        [mean2d, conic, opacity.reshape(-1, 1), channels, pad_cols], axis=1)
+    pair_payload = jnp.take(payload, lists.point_list, axis=0, mode='clip')
+    aligned = jnp.take(pair_payload, ap.src, axis=0, mode='fill',
+                       fill_value=0.0)                        # [A, 32]
+    pay_t = jax.lax.transpose(aligned, (1, 0))                # [32, A]
 
-    ch16 = jnp.concatenate(
-        [channels, jnp.zeros((P, 16 - C), channels.dtype)], axis=1) \
-        if C < 16 else channels
-    ch_t = jnp.where(pad[None, :], 0.0, ch16.T[:, safe])
-
-    geom = jnp.stack([xs, ys, a, b, c, zero, zero, zero], axis=0)
-    geom_t = jax.lax.stop_gradient(jnp.where(pad[None, :], 0.0, geom))
-
-    if mean2d_abs_hook is None:
-        hook = jnp.zeros((ids.shape[0], 2), jnp.float32)
+    if mean2d_abs_hook is not None:
+        pair_hook = jnp.take(mean2d_abs_hook, lists.point_list, axis=0,
+                             mode='clip')
+        hook = jnp.take(pair_hook, ap.src, axis=0, mode='fill',
+                        fill_value=0.0)
     else:
-        hook = jnp.where(pad[:, None], 0.0, mean2d_abs_hook[safe])
+        hook = jnp.zeros((ap.src.shape[0], 2), jnp.float32)
 
-    img, obs = blend_pairs(u_t, ch_t, geom_t, hook, ap.starts, ap.counts,
+    img, obs = blend_pairs(pay_t, hook, ap.starts, ap.counts,
                            grid_x, n_tiles)
 
     accum = img[:, :C, :]
     T = img[:, 16, :]
     obs_flat = jax.lax.stop_gradient(obs).reshape(-1)
-    obs_idx = jnp.where(pad, P, ids)
+    obs_idx = jnp.where(ap.ids < 0, P, ap.ids)
     observe = jnp.zeros((P,), jnp.int32).at[obs_idx].add(
         obs_flat.astype(jnp.int32), mode='drop')
     return accum, T, observe
