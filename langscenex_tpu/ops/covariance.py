@@ -78,6 +78,10 @@ def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     tx = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + tvec[0]
     ty = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + tvec[1]
     tz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + tvec[2]
+    # splats at/behind the camera are frustum-culled (z <= 0.2) but still
+    # traverse this math; clamp tz so 1/tz can't produce inf/NaN that
+    # leaks through the visibility mask in reverse mode
+    tz = jnp.maximum(tz, 0.11)
     # fov clamp (forward.cu:86-91)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
     tx = jnp.clip(tx / tz, -limx, limx) * tz

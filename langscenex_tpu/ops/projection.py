@@ -108,7 +108,9 @@ def preprocess(
     hx = fp[0, 0] * mx + fp[0, 1] * my + fp[0, 2] * mz + fp[0, 3]
     hy = fp[1, 0] * mx + fp[1, 1] * my + fp[1, 2] * mz + fp[1, 3]
     hw = fp[3, 0] * mx + fp[3, 1] * my + fp[3, 2] * mz + fp[3, 3]
-    inv_w = 1.0 / (hw + 1e-7)
+    # culled splats can sit at w ~ 0; clamp so the divide stays finite and
+    # no NaN leaks through visibility masks in reverse mode
+    inv_w = 1.0 / jnp.maximum(hw + 1e-7, 1e-3)
     mean2d = jnp.stack([ndc_to_pix(hx * inv_w, cam.width),
                         ndc_to_pix(hy * inv_w, cam.height)], -1)
     if mean2d_offset is not None:

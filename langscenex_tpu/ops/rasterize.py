@@ -48,8 +48,15 @@ class RasterConfig:
     tile_h: int = 8             # sublane-aligned tile height
     max_tiles_per_splat: int = 32
     chunk: int = 128            # splats blended per scan step
-    max_splats_per_tile: int = 4096  # per-tile list truncation (depth-sorted)
-    use_pallas: bool = False    # fused Pallas blend (rasterize_pallas.py)
+    max_splats_per_tile: int = 4096  # per-tile list truncation (XLA path only)
+    use_pallas: Optional[bool] = None  # None = auto (fused kernel on TPU)
+
+    def resolve_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        if self.tile_w != 128 or self.tile_h != 8:
+            return False
+        return jax.default_backend() == "tpu"
 
 
 class RenderOutput(NamedTuple):
@@ -208,7 +215,7 @@ def rasterize(
     # contribute (they are also absent from tile lists).
     op = jnp.where(proc.visible, opacity.reshape(-1), 0.0)
 
-    if cfg.use_pallas:
+    if cfg.resolve_pallas():
         from .rasterize_pallas import blend_tiles_pallas
         accum, T, observe = blend_tiles_pallas(
             lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y, cfg)

@@ -468,20 +468,27 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
     ap = build_aligned_pairs(lists, n_tiles)
     list_len = lists.point_list.shape[0]
 
-    # payload [P, 32] -> pair order -> aligned order (row gathers)
+    # payload [P+1, 32] (sentinel zero row) -> aligned order via ONE row
+    # gather with a composed index. optimization_barrier prevents XLA from
+    # fusing concat+gather+transpose into a single 32-pass strided fusion
+    # (measured 68ms fused vs ~1ms staged).
     pad_cols = jnp.zeros((P, ROWS - 6 - C), jnp.float32)
     payload = jnp.concatenate(
-        [mean2d, conic, opacity.reshape(-1, 1), channels, pad_cols], axis=1)
-    pair_payload = jnp.take(payload, lists.point_list, axis=0, mode='clip')
-    aligned = jnp.take(pair_payload, ap.src, axis=0, mode='fill',
-                       fill_value=0.0)                        # [A, 32]
+        [mean2d, conic, opacity.reshape(-1, 1), channels, pad_cols,
+         ], axis=1)
+    payload = jnp.concatenate(
+        [payload, jnp.zeros((1, ROWS), payload.dtype)], axis=0)
+    payload = jax.lax.optimization_barrier(payload)
+    slot_splat = jnp.where(ap.ids < 0, P, ap.ids)             # [A]
+    aligned = jnp.take(payload, slot_splat, axis=0)           # [A, 32]
+    aligned = jax.lax.optimization_barrier(aligned)
     pay_t = jax.lax.transpose(aligned, (1, 0))                # [32, A]
 
     if mean2d_abs_hook is not None:
-        pair_hook = jnp.take(mean2d_abs_hook, lists.point_list, axis=0,
-                             mode='clip')
-        hook = jnp.take(pair_hook, ap.src, axis=0, mode='fill',
-                        fill_value=0.0)
+        hook = jnp.take(
+            jnp.concatenate([mean2d_abs_hook,
+                             jnp.zeros((1, 2), jnp.float32)], 0),
+            slot_splat, axis=0)
     else:
         hook = jnp.zeros((ap.src.shape[0], 2), jnp.float32)
 

@@ -1,0 +1,247 @@
+"""FieldConstructionPipeline: the stage-3/4 orchestration driver.
+
+Parity targets: field_construction/pipeline.py:8-31
+(FieldConstructionPipeline.{construct_field, render_result, eval}),
+Preprocessor.preprocess (preprocessor.py:296-316), VideoPreprocessor
+(video_preprocessor/__init__.py:14-48: ffmpeg frame extraction + seg-video
+-> nearest-palette-color id maps), and the view-selection subsample
+(preprocessor.py select_valid_data:257-294).
+
+All stages communicate through the reference's exact filesystem contract
+(SURVEY.md §1): data_path/{input, normal, camera, lang_features,
+lang_features_dim3}/, colors.npy, points3D.ply — so artifacts
+interchange with the reference pipeline byte-for-byte where formats allow.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import shutil
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PipelinePaths:
+    data_path: str
+    rgb_video_path: str = ""
+    seg_video_path: str = ""
+    normal_video_path: str = ""
+    model_path: str = ""
+    skip_video_process: bool = False
+    skip_pose_estimate: bool = False
+    skip_lang_feature_extraction: bool = False
+
+
+class VideoPreprocessor:
+    """Frame extraction + seg-video to id-map conversion."""
+
+    def __init__(self, paths: PipelinePaths, img_format: str = "png"):
+        self.paths = paths
+        self.img_format = img_format
+
+    def video_process(self) -> None:
+        self.extract_frames(self.paths.rgb_video_path, "input")
+        if self.paths.normal_video_path:
+            self.extract_frames(self.paths.normal_video_path, "normal")
+        if self.paths.seg_video_path:
+            self.extract_masks("lang_features_dim3")
+
+    def extract_frames(self, video_path: str, dir_name: str) -> None:
+        """ffmpeg frame dump (video_preprocessor/__init__.py:26-31);
+        falls back to copying an existing frame directory when ffmpeg is
+        unavailable or the input is already a directory."""
+        out_dir = os.path.join(self.paths.data_path, dir_name)
+        os.makedirs(out_dir, exist_ok=True)
+        if os.path.isdir(video_path):
+            for i, fn in enumerate(sorted(os.listdir(video_path))):
+                shutil.copy(os.path.join(video_path, fn),
+                            os.path.join(out_dir, f"{i + 1:04d}.{self.img_format}"))
+            return
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError(
+                "ffmpeg not available and input is not a frame directory")
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", video_path,
+             os.path.join(out_dir, f"%04d.{self.img_format}")],
+            check=True, capture_output=True)
+
+    def extract_masks(self, save_dir_name: str) -> None:
+        """seg keyframe video/frames -> per-frame nearest-palette-color id
+        maps *_s.npy (video_preprocessor/__init__.py:33-48)."""
+        colors = np.load(os.path.join(self.paths.data_path, "colors.npy"))
+        colors = colors.astype(np.float32) / 255.0
+        frames = self._load_video_or_dir(self.paths.seg_video_path)
+        save_path = os.path.join(self.paths.data_path, save_dir_name)
+        os.makedirs(save_path, exist_ok=True)
+        for idx, frame in enumerate(frames):
+            f = frame.astype(np.float32) / 255.0      # [H,W,3]
+            d = ((f[:, :, None, :] - colors[None, None]) ** 2).sum(-1)
+            mask = np.argmin(d, axis=-1) - 1           # -1 = background
+            np.save(os.path.join(save_path, f"{idx + 1:04d}_s.npy"), mask)
+
+    def _load_video_or_dir(self, path: str):
+        from PIL import Image
+        if os.path.isdir(path):
+            for fn in sorted(os.listdir(path)):
+                yield np.asarray(Image.open(os.path.join(path, fn)))[..., :3]
+        else:
+            tmp = os.path.join(self.paths.data_path, "_segframes")
+            self.extract_frames(path, "_segframes")
+            for fn in sorted(os.listdir(tmp)):
+                yield np.asarray(Image.open(os.path.join(tmp, fn)))[..., :3]
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def select_valid_data(data_path: str, chunk_num: int, keep_per_chunk: int,
+                      dirs=("input", "normal")) -> None:
+    """Uniform chunked frame subsample; renumbers frames and the _f/_s
+    pairs (preprocessor.py:257-294). Moves raw dirs to *_raw."""
+    input_dir = os.path.join(data_path, "input")
+    names = sorted(os.listdir(input_dir))
+    n = len(names)
+    chunk = max(n // chunk_num, 1)
+    keep_idx = []
+    for c in range(0, n, chunk):
+        keep_idx.extend(range(c, min(c + keep_per_chunk, n)))
+    keep_idx = sorted(set(keep_idx))
+
+    for d in list(dirs) + ["lang_features_dim3"]:
+        src = os.path.join(data_path, d)
+        if not os.path.isdir(src):
+            continue
+        raw = os.path.join(data_path, d + "_raw")
+        if os.path.isdir(raw):
+            shutil.rmtree(raw)
+        os.rename(src, raw)
+        os.makedirs(src)
+        files = sorted(os.listdir(raw))
+        by_stem = {}
+        for fn in files:
+            stem = fn.split("_")[0].split(".")[0]
+            by_stem.setdefault(stem, []).append(fn)
+        stems = sorted(by_stem)
+        for new_i, old_i in enumerate(keep_idx):
+            if old_i >= len(stems):
+                break
+            for fn in by_stem[stems[old_i]]:
+                suffix = fn[len(stems[old_i]):]
+                shutil.copy(os.path.join(raw, fn),
+                            os.path.join(src, f"{new_i + 1:04d}{suffix}"))
+
+
+class FieldConstructionPipeline:
+    """Top-level driver (pipeline.py:8-31): preprocess -> train / render /
+    eval on the filesystem contract."""
+
+    def __init__(self, paths: PipelinePaths, gaussian_cfg=None,
+                 pose_estimator: str = "vggt"):
+        from .utils.config import GaussianConfig
+        self.paths = paths
+        self.cfg = gaussian_cfg or GaussianConfig()
+        self.pose_estimator = pose_estimator
+
+    # -------------------------------------------------------- preprocess
+    def preprocess(self, lang_features: bool = True) -> None:
+        p = self.paths
+        if not p.skip_video_process:
+            VideoPreprocessor(p).video_process()
+        if not p.skip_pose_estimate:
+            self.estimate_poses()
+        if not p.skip_lang_feature_extraction and lang_features:
+            self.extract_language_features()
+
+    def estimate_poses(self) -> None:
+        """VGGT feed-forward pose init (pose_estimator/__init__.py:227-294):
+        writes camera/%04d.npz {pose(c2w), intrinsics} + points3D.ply."""
+        from .pose_estimation import estimate_poses_vggt
+        estimate_poses_vggt(self.paths.data_path)
+
+    def extract_language_features(self) -> None:
+        """OpenSeg/CLIP feature lifting + per-scene AE compression
+        (preprocessor.py:22-227). The TF OpenSeg SavedModel is not
+        available in this environment; features must already exist in
+        lang_features/ (e.g. produced by models/openseg bridge) — the AE
+        training + per-pixel scatter runs here."""
+        from .train.ae import generate_dim3_features
+        lf = os.path.join(self.paths.data_path, "lang_features")
+        seg = os.path.join(self.paths.data_path, "lang_features_dim3")
+        if not os.path.isdir(lf) or not os.listdir(lf):
+            log.warning("lang_features/ missing; skipping AE stage "
+                        "(provide pooled features per preprocessor.py:22-90)")
+            return
+        generate_dim3_features(lf, seg, seg)
+
+    # ------------------------------------------------------------- train
+    def construct_field(self, iterations: Optional[int] = None):
+        from .ops.rasterize import RasterConfig
+        from .scene.dataset_readers import load_scene
+        from .scene.gaussians import create_from_points
+        from .train.field import GaussianFieldTrainer
+        info = load_scene(self.paths.data_path, kind="cut3r")
+        splats = create_from_points(info.points, info.colors,
+                                    self.cfg.dataset.sh_degree)
+        lang_dir = os.path.join(self.paths.data_path,
+                                self.cfg.dataset.language_features_name)
+        trainer = GaussianFieldTrainer(
+            info.cameras, splats, self.cfg.opt,
+            scene_extent=info.nerf_norm_radius,
+            sh_degree_max=self.cfg.dataset.sh_degree,
+            white_background=self.cfg.dataset.white_background,
+            lang_dir=lang_dir if os.path.isdir(lang_dir) else None)
+        state, metrics = trainer.train(iterations=iterations)
+        # save splat PLY + optimized poses (gaussian_field.py:516-549)
+        from .scene.ply_io import save_ply
+        out = self.paths.model_path or os.path.join(self.paths.data_path,
+                                                    "output")
+        it = iterations or self.cfg.opt.iterations
+        save_ply(state.splats,
+                 os.path.join(out, f"point_cloud/iteration_{it}",
+                              "point_cloud.ply"))
+        os.makedirs(os.path.join(out, f"pose/iter_{it}"), exist_ok=True)
+        np.save(os.path.join(out, f"pose/iter_{it}/pose_optimized.npy"),
+                np.asarray(state.poses))
+        return state, metrics
+
+    # ------------------------------------------------------------ render
+    def render_result(self, load_iteration: Optional[int] = None):
+        from .ops.rasterize import RasterConfig
+        from .scene.dataset_readers import load_scene
+        from .scene.ply_io import load_ply
+        from .train.render_mode import render_result
+        out = self.paths.model_path or os.path.join(self.paths.data_path,
+                                                    "output")
+        it = load_iteration or self.cfg.render.load_iteration
+        splats = load_ply(os.path.join(
+            out, f"point_cloud/iteration_{it}", "point_cloud.ply"),
+            self.cfg.dataset.sh_degree)
+        info = load_scene(self.paths.data_path, kind="cut3r", shuffle=False)
+        render_result(splats, info.cameras,
+                      os.path.join(out, f"renders/iteration_{it}"),
+                      sh_degree=self.cfg.dataset.sh_degree,
+                      voxel_size=self.cfg.render.voxel_size)
+
+    # -------------------------------------------------------------- eval
+    def eval(self, load_iteration: Optional[int] = None):
+        from .scene.dataset_readers import load_scene
+        from .scene.ply_io import load_ply
+        from .train.render_mode import eval_views
+        out = self.paths.model_path or os.path.join(self.paths.data_path,
+                                                    "output")
+        it = load_iteration or self.cfg.render.load_iteration
+        splats = load_ply(os.path.join(
+            out, f"point_cloud/iteration_{it}", "point_cloud.ply"),
+            self.cfg.dataset.sh_degree)
+        info = load_scene(self.paths.data_path, kind="cut3r", shuffle=False)
+        results = []
+        for cam, pose, maps, psnr in eval_views(
+                splats, info.cameras,
+                pose_optim_iters=self.cfg.render.pose_optim_iter):
+            results.append({"camera": cam.image_name, "psnr": psnr})
+            log.info("eval %s psnr=%.2f", cam.image_name, psnr)
+        return results

@@ -1,0 +1,84 @@
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langscenex_tpu.ops.rasterize import RasterConfig
+from langscenex_tpu.ops.tsdf import (create_volume, integrate, extract_mesh,
+                                     save_mesh_ply)
+from langscenex_tpu.scene.gaussians import create_from_points
+from langscenex_tpu.scene.ply_io import save_ply, load_ply
+from langscenex_tpu.train.render_mode import (render_result, eval_views,
+                                              pca_colormap)
+from test_train import make_cams, gt_scene, render_gt_images, RCFG
+from langscenex_tpu.scene.cameras import rgb_to_gray
+
+
+class TestTSDF:
+    def test_flat_wall(self):
+        """A fronto-parallel wall at z=2 integrated from one view gives a
+        zero crossing near z=2."""
+        vol = create_volume([-1, -1, 1], 0.05, (40, 40, 40))
+        K = jnp.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+        depth = jnp.full((64, 64), 2.0)
+        color = jnp.ones((3, 64, 64)) * 0.5
+        vol = integrate(vol, depth, K, jnp.eye(4), color, trunc=0.2)
+        verts, faces, cols = extract_mesh(vol)
+        assert len(verts) > 0 and len(faces) > 0
+        # surface z within a voxel of 2.0
+        assert abs(np.median(verts[:, 2]) - 2.0) < 0.1
+        np.testing.assert_allclose(np.median(cols), 0.5, atol=0.05)
+
+    def test_mesh_ply_roundtrip(self, tmp_path):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        faces = np.array([[0, 1, 2]], np.int32)
+        cols = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        save_mesh_ply(str(tmp_path / "m.ply"), verts, faces, cols)
+        assert (tmp_path / "m.ply").stat().st_size > 0
+
+
+class TestPCA:
+    def test_shape_and_range(self):
+        rng = np.random.default_rng(0)
+        feat = rng.normal(size=(3, 16, 20)).astype(np.float32)
+        vis = pca_colormap(feat)
+        assert vis.shape == (3, 16, 20)
+        assert vis.min() >= 0 and vis.max() <= 1
+
+
+class TestRenderMode:
+    def test_render_result_writes_outputs(self, tmp_path):
+        cams = make_cams(n=2)
+        pts, colors = gt_scene(P=30)
+        imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=32)
+        render_result(splats, cams, str(tmp_path), rcfg=RCFG, sh_degree=0,
+                      mesh=True, feature_mesh=False)
+        files = os.listdir(tmp_path)
+        assert any(f.endswith("_render.png") for f in files)
+        assert any(f.endswith("_depth.png") for f in files)
+        assert any(f.endswith("_language_pca.png") for f in files)
+        assert "mesh.ply" in files
+
+    def test_eval_pose_optim_improves(self, tmp_path):
+        cams = make_cams(n=2)
+        pts, colors = gt_scene(P=40)
+        imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=64)
+        # perturb the test camera's stored pose; eval should recover some
+        cam = cams[0]
+        results = list(eval_views(splats, [cam], rcfg=RCFG, sh_degree=0,
+                                  pose_optim_iters=10))
+        assert len(results) == 1
+        _, pose, maps, psnr = results[0]
+        assert np.isfinite(psnr)
+        assert maps["render"].shape[0] == 3
