@@ -89,8 +89,10 @@ def rope_3d(cfg: TransformerConfig, frames: int, height: int, width: int):
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     """x [..., T, D] with interleaved-pair rotation (diffusers
-    apply_rotary_emb use_real_unbind_dim=-1 convention)."""
-    d2 = x.shape[-1] // 2
+    apply_rotary_emb use_real_unbind_dim=-1 convention). Keeps x's dtype
+    (an f32 upcast here costs ~200MB per tensor at DiT scale)."""
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
     rx1 = x1 * cos - x2 * sin
@@ -115,15 +117,11 @@ class LayerNormZero(nn.Module):
 
 
 def attention(q, k, v, dtype):
-    """Joint full attention [B, H, T, D]. XLA fuses this well for ~18k
-    tokens on one chip; a Pallas splash-attention kernel drops in here for
-    longer sequences / ring attention over the 'data' axis."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(dtype), k.astype(dtype),
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(dtype)
-    return jnp.einsum('bhqk,bhkd->bhqd', probs, v.astype(dtype),
-                      preferred_element_type=jnp.float32).astype(jnp.float32)
+    """Joint full attention [B, H, T, D]: Pallas flash-attention kernel on
+    TPU for the ~17.8k-token sequence (materialized logits would be tens
+    of GB), fused einsum elsewhere."""
+    from ...ops.flash_attention import attention_auto
+    return attention_auto(q, k, v, dtype=dtype)
 
 
 class JointAttention(nn.Module):

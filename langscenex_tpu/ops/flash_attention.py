@@ -1,0 +1,123 @@
+"""Flash attention (online-softmax, non-causal) as a Pallas TPU kernel.
+
+The TriMap DiT attends over ~17.8k joint text+video tokens
+(pipeline.py:284-291,480-497); materialized [T,T] logits at that length
+are tens of GB, so the denoiser needs a streaming attention kernel on TPU
+(SURVEY.md §5 long-context note). Standard flash-attention recurrence:
+per (batch*head, q-block), stream k/v blocks, keep running max m and
+normalizer l, rescale the accumulator.
+
+Kernel layout: grid (BH, num_q_blocks, num_k_blocks) with the k axis as
+the innermost (sequential) dimension — accumulators live in VMEM scratch
+across k steps. Matmuls in bf16 on the MXU with f32 accumulation.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                 *, scale, kv_len, block_k):
+    kb = pl.program_id(2)
+    is_first = kb == 0
+    is_last = kb == pl.num_programs(2) - 1
+
+    @pl.when(is_first)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                        # [Bq, D]
+    k = k_ref[0]                        # [Bk, D]
+    v = v_ref[0]                        # [Bk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [Bq, Bk]
+    # mask padded kv positions
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[...]                 # [Bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)              # [Bq, Bk]
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(is_last)
+    def _():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float | None = None,
+                    block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+    """[B,H,T,D] q,k,v -> [B,H,T,D]. Non-causal full attention."""
+    B, H, T, D = q.shape
+    Tk = k.shape[2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    bq = min(block_q, T)
+    bk = min(block_k, Tk)
+    Tp = ((T + bq - 1) // bq) * bq
+    Tkp = ((Tk + bk - 1) // bk) * bk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
+    qp = qp.reshape(B * H, Tp, D)
+    kp = kp.reshape(B * H, Tkp, D)
+    vp = vp.reshape(B * H, Tkp, D)
+
+    grid = (B * H, Tp // bq, Tkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_len=Tk, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out.reshape(B, H, Tp, D)[:, :, :T]
+
+
+def attention_auto(q, k, v, scale=None, dtype=jnp.bfloat16,
+                   flash_threshold: int = 2048):
+    """Dispatch: Pallas flash attention on TPU for long sequences, fused
+    einsum otherwise (used by models/cogvideox and models/vggt)."""
+    T = q.shape[2]
+    out_dtype = q.dtype
+    if jax.default_backend() == "tpu" and T >= flash_threshold:
+        return flash_attention(q.astype(dtype), k.astype(dtype),
+                               v.astype(dtype), scale).astype(out_dtype)
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(dtype), k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits * scale, axis=-1).astype(dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', p, v.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(out_dtype)

@@ -1,0 +1,202 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from langscenex_tpu.models.cogvideox.losses import (
+    vae_loss, VAELossConfig, kl_divergence, LeCamEMA, lecam_reg,
+    discriminator_loss, generator_loss, r1_gradient_penalty,
+    adaptive_generator_weight)
+from langscenex_tpu.models.cogvideox.datasets import (
+    VideoClipDataset, ClipSamplerConfig, AutoEncoderDataset,
+    ImageFolderDataset, valid_clip_length)
+from langscenex_tpu.models.lpips import LPIPS
+from langscenex_tpu.utils.convert import (t2f_linear, t2f_conv,
+                                          convert_autoencoder)
+from langscenex_tpu.train.checkpoint import (save_checkpoint,
+                                             restore_checkpoint,
+                                             latest_iteration)
+
+
+class TestLosses:
+    def test_kl_zero_for_standard_normal(self):
+        m = jnp.zeros((2, 8))
+        lv = jnp.zeros((2, 8))
+        assert float(kl_divergence(m, lv)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_vae_loss_components(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 3, 8, 8)).astype(np.float32))
+        rec = x + 0.1
+        total, parts = vae_loss(rec, x, jnp.zeros((2, 4)), jnp.zeros((2, 4)),
+                                jnp.zeros(()))
+        assert float(parts["kl"]) == pytest.approx(0.0, abs=1e-6)
+        assert float(parts["nll"]) > 0
+
+    def test_hinge_losses(self):
+        d_real = jnp.array([2.0, 0.5])
+        d_fake = jnp.array([-2.0, 0.5])
+        dl = discriminator_loss(d_real, d_fake, "hinge")
+        # real=2 -> 0; real=0.5 -> 0.5 ; fake=-2 -> 0; fake=0.5 -> 1.5
+        assert float(dl) == pytest.approx(0.25 + 0.75)
+        gl = generator_loss(d_fake, "hinge")
+        assert float(gl) == pytest.approx(0.75)
+
+    def test_lecam(self):
+        ema = LeCamEMA(real=jnp.zeros(()), fake=jnp.zeros(()), decay=0.5)
+        ema = ema.update(jnp.array([2.0]), jnp.array([-2.0]))
+        assert float(ema.real) == pytest.approx(1.0)
+        reg = lecam_reg(jnp.array([3.0]), jnp.array([-3.0]), ema)
+        assert float(reg) > 0
+
+    def test_r1_penalty(self):
+        disc = lambda x: jnp.sum(x ** 2, axis=(1, 2, 3))
+        x = jnp.ones((2, 1, 2, 2))
+        # grad per x = 2x -> ||g||^2 summed = 4 * numel / batch
+        p = r1_gradient_penalty(disc, x)
+        assert float(p) == pytest.approx(4 * 8 / 2)
+
+    def test_adaptive_weight(self):
+        w = adaptive_generator_weight(jnp.array(2.0), jnp.array(0.5))
+        assert float(w) == pytest.approx(2.0 / 0.5004, rel=1e-2)
+
+
+class TestDatasets:
+    def _make_frames(self, tmp_path, n=100):
+        d = tmp_path / "vid"
+        d.mkdir()
+        for i in range(n):
+            Image.fromarray(
+                np.full((8, 12, 3), i % 255, np.uint8)).save(
+                d / f"{i:04d}.png")
+        return str(d)
+
+    def test_valid_clip_length(self):
+        assert valid_clip_length(49) == 49
+        assert valid_clip_length(50) == 49
+        assert valid_clip_length(17) == 17
+        assert valid_clip_length(16) == 13
+
+    def test_clip_sampler(self, tmp_path):
+        root = self._make_frames(tmp_path)
+        ds = VideoClipDataset([root], ClipSamplerConfig(
+            num_frames=9, stride=2, size_hw=(8, 12)))
+        assert len(ds) == 1
+        clip, first, last = ds.sample(0)
+        assert clip.shape == (9, 3, 8, 12)
+        np.testing.assert_allclose(first, clip[0])
+        np.testing.assert_allclose(last, clip[-1])
+        assert clip.min() >= -1.0 and clip.max() <= 1.0
+
+    def test_too_short_video_excluded(self, tmp_path):
+        root = self._make_frames(tmp_path, n=5)
+        ds = VideoClipDataset([root], ClipSamplerConfig(
+            num_frames=9, stride=2, size_hw=(8, 12)))
+        assert len(ds) == 0
+
+    def test_image_folder(self, tmp_path):
+        root = self._make_frames(tmp_path, n=3)
+        ds = ImageFolderDataset(root, size_hw=(8, 12))
+        clip = ds.sample(0)
+        assert clip.shape == (1, 3, 8, 12)
+
+
+class TestLPIPS:
+    def test_zero_for_identical(self):
+        model = LPIPS()
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), a, a)
+        d = model.apply(params, a, a)
+        assert float(d[0]) == pytest.approx(0.0, abs=1e-6)
+        b = jnp.asarray(rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32))
+        d2 = model.apply(params, a, b)
+        assert abs(float(d2[0])) > 0
+
+
+class TestConvert:
+    def test_linear_conv(self):
+        w = np.arange(6).reshape(2, 3).astype(np.float32)
+        f = t2f_linear(w, np.zeros(2))
+        assert f["kernel"].shape == (3, 2)
+        cw = np.zeros((4, 2, 3, 3), np.float32)
+        fc = t2f_conv(cw)
+        assert fc["kernel"].shape == (3, 3, 2, 4)
+
+    def test_autoencoder_conversion_runs_model(self):
+        """Synthetic torch-layout state_dict loads into the flax AE and
+        matches a manual forward on a sample."""
+        import torch
+        from langscenex_tpu.models.autoencoder import Autoencoder
+        rng = np.random.default_rng(2)
+        enc_dims = [512, 256, 128, 64, 32, 16, 3]
+        dec_dims = [16, 32, 64, 128, 256, 512, 768]
+        sd = {}
+        prev = 768
+        mi = 0
+        for i, d in enumerate(enc_dims):
+            if i > 0:
+                sd[f"encoder.{mi}.weight"] = np.ones(prev, np.float32)
+                sd[f"encoder.{mi}.bias"] = np.zeros(prev, np.float32)
+                sd[f"encoder.{mi}.running_mean"] = np.zeros(prev, np.float32)
+                sd[f"encoder.{mi}.running_var"] = np.ones(prev, np.float32)
+                mi += 2  # BN, ReLU
+            sd[f"encoder.{mi}.weight"] = rng.normal(
+                0, 0.05, (d, prev)).astype(np.float32)
+            sd[f"encoder.{mi}.bias"] = np.zeros(d, np.float32)
+            mi += 1
+            prev = d
+        prev = 3
+        mi = 0
+        for i, d in enumerate(dec_dims):
+            if i > 0:
+                mi += 1  # ReLU
+            sd[f"decoder.{mi}.weight"] = rng.normal(
+                0, 0.05, (d, prev)).astype(np.float32)
+            sd[f"decoder.{mi}.bias"] = np.zeros(d, np.float32)
+            mi += 1
+            prev = d
+        variables = convert_autoencoder(sd)
+        model = Autoencoder()
+        x = jnp.asarray(rng.normal(size=(4, 768)).astype(np.float32))
+        out = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, x, train=False)
+        assert out.shape == (4, 768)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                                   1.0, rtol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import dataclasses
+        from langscenex_tpu.scene.gaussians import (create_from_points,
+                                                    DensifyStats)
+        from langscenex_tpu.train.field import TrainState
+        from langscenex_tpu.train.optim import (make_splat_optimizer,
+                                                splat_params,
+                                                make_pose_optimizer,
+                                                make_app_optimizer)
+        from langscenex_tpu.utils.config import OptimizationConfig
+        rng = np.random.default_rng(3)
+        splats = create_from_points(
+            rng.uniform(-1, 1, (10, 3)).astype(np.float32),
+            rng.uniform(0, 1, (10, 3)).astype(np.float32), capacity=16)
+        cfg = OptimizationConfig()
+        poses = jnp.zeros((2, 7)).at[:, 0].set(1.0)
+        state = TrainState(
+            splats=splats, poses=poses, app_ab=jnp.zeros((2, 2)),
+            splat_opt=make_splat_optimizer(cfg, 1.0).init(splat_params(splats)),
+            pose_opt=make_pose_optimizer(cfg).init(poses),
+            app_opt=make_app_optimizer().init(jnp.zeros((2, 2))),
+            stats=DensifyStats.zeros(16), step=jnp.asarray(42, jnp.int32))
+        save_checkpoint(str(tmp_path), state, 42)
+        assert latest_iteration(str(tmp_path)) == 42
+        restored, it = restore_checkpoint(str(tmp_path), state)
+        assert it == 42
+        np.testing.assert_allclose(np.asarray(restored.splats.xyz),
+                                   np.asarray(state.splats.xyz))
+        assert int(restored.step) == 42

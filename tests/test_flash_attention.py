@@ -1,0 +1,49 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from langscenex_tpu.ops.flash_attention import flash_attention, attention_auto
+
+
+def reference_attention(q, k, v):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', p, v)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("T,Tk", [(256, 256), (384, 640), (130, 70)])
+    def test_matches_reference(self, T, Tk):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(1, 2, T, 64)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, Tk, 64)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, Tk, 64)).astype(np.float32))
+        ref = reference_attention(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_extreme_logits_stable(self):
+        """Online softmax must survive large score magnitudes."""
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(20 * rng.normal(size=(1, 1, 128, 64)).astype(np.float32))
+        k = jnp.asarray(20 * rng.normal(size=(1, 1, 128, 64)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 1, 128, 64)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, block_q=64, block_k=64)
+        assert np.all(np.isfinite(np.asarray(out)))
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-3)
+
+    def test_attention_auto_cpu_path(self):
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(1, 2, 64, 32)).astype(np.float32))
+        out = attention_auto(q, q, q, dtype=jnp.float32)
+        ref = reference_attention(q, q, q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
