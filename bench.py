@@ -7,6 +7,10 @@ against a nominal 100 FPS for the reference CUDA rasterizer on A100 at the
 same scene scale (100k splats, 720x480, RGB+language+instance channels) —
 a conservative published-community figure for full-featured language-field
 rasterizers, documented here until a measured A100 baseline exists.
+
+Timing fetches a scalar reduction every iteration: block_until_ready has
+been observed to return before remote execution completes on the tunneled
+axon backend, so only a data dependency gives trustworthy timings.
 """
 import json
 import time
@@ -16,19 +20,17 @@ A100_NOMINAL_FPS = 100.0
 
 def main():
     import jax
+    import jax.numpy as jnp
     from __graft_entry__ import entry
 
     fn, args = entry()
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
+    jfn = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
+    s = float(jfn(*args))   # compile + warm
 
-    # timed
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
-        out = jfn(*args)
-    jax.block_until_ready(out)
+        s = float(jfn(*args))
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
     print(json.dumps({

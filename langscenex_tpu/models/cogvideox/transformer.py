@@ -205,11 +205,18 @@ class CogVideoXTransformer(nn.Module):
 
         text_h = nn.Dense(cfg.hidden, name="text_proj")(text)
 
-        # timestep conditioning (sinusoidal -> MLP, flip_sin_to_cos conv.)
+        # timestep conditioning (sinusoidal -> MLP). temb stays at
+        # time_embed_dim (512): the per-block adaLN linears map 512 ->
+        # 6*hidden; projecting temb to hidden first would double the
+        # parameter count (measured 9.55B vs the correct ~5.8B)
         temb = sinusoidal_timestep(timestep, cfg.time_embed_dim // 2 * 2)
         temb = nn.Dense(cfg.time_embed_dim, name="time_fc1")(temb)
         temb = nn.silu(temb)
-        temb = nn.Dense(cfg.hidden, name="time_fc2")(temb)
+        temb = nn.Dense(cfg.time_embed_dim, name="time_fc2")(temb)
+        # keep conditioning in the compute dtype: an f32 temb promotes the
+        # whole residual stream to f32 through the adaLN modulation
+        # (measured 2x step time at 5B scale)
+        temb = temb.astype(latents.dtype)
 
         rope = rope_3d(cfg, F, Hp, Wp) if cfg.use_rotary else None
 

@@ -183,6 +183,7 @@ def rasterize(
     cov3d_precomp: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     mean2d_offset: Optional[jnp.ndarray] = None,
+    mean2d_abs_hook: Optional[jnp.ndarray] = None,
     cfg: RasterConfig = RasterConfig(),
 ) -> RenderOutput:
     """Full differentiable rasterization pass.
@@ -218,8 +219,11 @@ def rasterize(
     if cfg.resolve_pallas():
         from .rasterize_pallas import blend_tiles_pallas
         accum, T, observe = blend_tiles_pallas(
-            lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y, cfg)
+            lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y,
+            cfg, mean2d_abs_hook=mean2d_abs_hook)
     else:
+        # XLA path has no exact abs-gradient support; the trainer falls
+        # back to |signed| (underestimates cancellation, threshold-safe)
         accum, T, observe = blend_tiles_xla(
             lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y, cfg)
 

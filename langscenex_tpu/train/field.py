@@ -116,7 +116,8 @@ class TrainState:
 def render_view(splats: GaussianState, pose: Optional[jnp.ndarray],
                 w2c: jnp.ndarray, cam: RasterCamera, bg: jnp.ndarray,
                 sh_degree: int, include_feature: bool, return_plane: bool,
-                mean2d_offset: Optional[jnp.ndarray], rcfg: RasterConfig):
+                mean2d_offset: Optional[jnp.ndarray], rcfg: RasterConfig,
+                mean2d_abs_hook: Optional[jnp.ndarray] = None):
     """The render shim (gaussian_renderer/__init__.py:42-239) on state."""
     opacity = splats.get_opacity()[:, 0] * splats.alive
     scales = splats.get_scaling()
@@ -157,7 +158,8 @@ def render_view(splats: GaussianState, pose: Optional[jnp.ndarray],
         shs=splats.get_features(), sh_degree=sh_degree,
         language_feature=splats.language_feature if include_feature else None,
         instance_feature=splats.instance_feature if include_feature else None,
-        all_map=all_map, mean2d_offset=mean2d_offset, cfg=rcfg)
+        all_map=all_map, mean2d_offset=mean2d_offset,
+        mean2d_abs_hook=mean2d_abs_hook, cfg=rcfg)
 
 
 def _pix_rays(H, W, fx, fy):
@@ -171,7 +173,8 @@ def _pix_rays(H, W, fx, fy):
 def view_loss(cfg: OptimizationConfig, flags: StepFlags, rcfg: RasterConfig,
               proxy_cam: RasterCamera, sh_degree: int, alive: jnp.ndarray,
               params: dict, poses: jnp.ndarray, app_ab: jnp.ndarray,
-              m2d_off: jnp.ndarray, batch: CameraBatch, key: jax.Array):
+              m2d_off: jnp.ndarray, batch: CameraBatch, key: jax.Array,
+              m2d_abs: Optional[jnp.ndarray] = None):
     """Full phase-gated loss for ONE view (the loss body of
     gaussian_field.py:234-487). Module-level so the single-view step and the
     view-parallel multi-chip step share it."""
@@ -183,7 +186,7 @@ def view_loss(cfg: OptimizationConfig, flags: StepFlags, rcfg: RasterConfig,
     out = render_view(splats, pose, batch.w2c, proxy_cam,
                       batch.bg, sh_degree, include_feature=True,
                       return_plane=True, mean2d_offset=m2d_off,
-                      rcfg=rcfg)
+                      rcfg=rcfg, mean2d_abs_hook=m2d_abs)
     metrics = {}
     total = jnp.zeros(())
     image = out.color
@@ -321,24 +324,29 @@ def make_train_step(cfg: OptimizationConfig, flags: StepFlags,
 
     def step_fn(state: TrainState, batch: CameraBatch, key: jax.Array,
                 sh_degree: int):
-        def loss_fn(params, poses, app_ab, m2d_off):
+        def loss_fn(params, poses, app_ab, m2d_off, m2d_abs):
             return view_loss(cfg, flags, rcfg, proxy_cam, sh_degree,
                              state.splats.alive, params, poses, app_ab,
-                             m2d_off, batch, key)
+                             m2d_off, batch, key, m2d_abs)
 
         params0 = splat_params(state.splats)
         m2d0 = jnp.zeros((state.splats.capacity, 2))
-        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)
-        (gs, gp, ga, gm2d), (metrics, radii, observe, visible) = grad_fn(
-            params0, state.poses, state.app_ab, m2d0)
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)
+        (gs, gp, ga, gm2d, gabs), (metrics, radii, observe, visible) = \
+            grad_fn(params0, state.poses, state.app_ab, m2d0, m2d0)
 
         # densify stats in the reference's NDC-gradient units
+        # (backward.cu:663 ddelx_dx = 0.5*W). The abs-gradient channel is
+        # exact from the Pallas backward hook when active; max with
+        # |signed| covers the XLA path where the hook carries no gradient.
         ndc_grad = gm2d * jnp.array([0.5 * W, 0.5 * H])
+        ndc_abs = jnp.maximum(jnp.abs(ndc_grad),
+                              gabs * jnp.array([0.5 * W, 0.5 * H]))
         upd_filter = visible & (radii > 0)
         track = state.step < min(cfg.max_geo_iter, cfg.densify_until_iter)
         new_stats = jax.tree_util.tree_map(
             lambda a, b: jnp.where(track, b, a), state.stats,
-            state.stats.update(ndc_grad, jnp.abs(ndc_grad), radii, upd_filter))
+            state.stats.update(ndc_grad, ndc_abs, radii, upd_filter))
 
         gs = phase_grad_mask(flags.phase, gs)
         updates, new_splat_opt = splat_tx.update(gs, state.splat_opt, params0)
