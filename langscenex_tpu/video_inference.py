@@ -1,0 +1,143 @@
+"""TriMap video generation CLI (stage 1).
+
+Parity target: video_inference.py:11-83 — load the interpolation pipeline
+(bf16), optionally hot-swap a fine-tuned transformer checkpoint, generate a
+49-frame video from (first, last) keyframes + prompt with 50 steps and
+guidance 6 (seed 42), export frames/video.
+
+Usage:
+  python -m langscenex_tpu.video_inference \\
+      --first_image a.png --last_image b.png --prompt "..." \\
+      --output_path out/ [--checkpoint ckpt.orbax] [--t5 /path/t5]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def load_image(path: str, hw) -> np.ndarray:
+    from PIL import Image
+    H, W = hw
+    im = Image.open(path).convert("RGB").resize((W, H))
+    return np.asarray(im, np.float32).transpose(2, 0, 1) / 127.5 - 1.0
+
+
+def save_video_frames(video: np.ndarray, out_dir: str, fps: int = 8) -> None:
+    """[T,3,H,W] in [-1,1] -> out_dir/%04d.png (+ mp4 when ffmpeg exists)."""
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    for t in range(video.shape[0]):
+        img = np.clip((video[t].transpose(1, 2, 0) + 1) / 2, 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"{t + 1:04d}.png"))
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg"):
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+             os.path.join(out_dir, "%04d.png"),
+             os.path.join(out_dir, "video.mp4")],
+            check=False, capture_output=True)
+
+
+def build_pipeline(checkpoint: str | None, t5_path: str | None,
+                   tiny: bool = False):
+    """Assemble DiT + VAE + scheduler + text encoder. Without a checkpoint
+    the models run with random/zero weights (shape/pipeline validation
+    only — weights must be converted via utils/convert.py)."""
+    import jax
+    import jax.numpy as jnp
+    from .models.cogvideox.transformer import (CogVideoXTransformer,
+                                               TransformerConfig)
+    from .models.cogvideox.vae import AutoencoderKL3D, VAEConfig
+    from .models.cogvideox.scheduler import DDIMScheduler
+    from .models.cogvideox.pipeline import InterpolationPipeline, PipelineConfig
+    from .models.t5 import TextEncoder
+
+    if tiny:
+        tcfg = TransformerConfig(num_layers=2, num_heads=2, head_dim=16,
+                                 in_channels=8, out_channels=4,
+                                 text_embed_dim=64, time_embed_dim=32,
+                                 attn_dtype=jnp.float32)
+        vcfg = VAEConfig(block_out_channels=(8, 16, 16, 32),
+                         layers_per_block=1, latent_channels=4, norm_groups=4)
+        pcfg = PipelineConfig(num_frames=9, height=64, width=96,
+                              num_inference_steps=4, latent_channels=4,
+                              vae_scaling_factor=1.0)
+        text_dim = 64
+    else:
+        tcfg = TransformerConfig()
+        vcfg = VAEConfig()
+        pcfg = PipelineConfig()
+        text_dim = 4096
+
+    dit = CogVideoXTransformer(tcfg)
+    vae = AutoencoderKL3D(vcfg)
+
+    key = jax.random.PRNGKey(42)
+    F, C = pcfg.latent_frames, pcfg.latent_channels
+    Hl, Wl = pcfg.latent_height, pcfg.latent_width
+    lat0 = jnp.zeros((1, F, 2 * C, Hl, Wl))
+    txt0 = jnp.zeros((1, 226, text_dim))
+    dit_params = dit.init(key, lat0, txt0, jnp.zeros((1,), jnp.int32))
+    vid0 = jnp.zeros((1, 1, 3, pcfg.height, pcfg.width))
+    vae_params = vae.init(key, vid0)
+
+    if checkpoint:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(checkpoint),
+                                 {"dit": dit_params, "vae": vae_params})
+        dit_params, vae_params = restored["dit"], restored["vae"]
+
+    denoiser = jax.jit(lambda lat, txt, t: dit.apply(dit_params, lat, txt, t))
+    vae_encode = jax.jit(lambda imgs: vae.apply(
+        vae_params, imgs, method=AutoencoderKL3D.encode)[0])
+    vae_decode = jax.jit(lambda z: vae.apply(
+        vae_params, z, method=AutoencoderKL3D.decode))
+    text = TextEncoder(t5_path, embed_dim=text_dim)
+    pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
+                                 DDIMScheduler(), pcfg)
+    return pipe, text, pcfg
+
+
+def main(argv=None) -> int:
+    import jax
+    import jax.numpy as jnp
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--first_image", required=True)
+    p.add_argument("--last_image", required=True)
+    p.add_argument("--prompt", default="")
+    p.add_argument("--negative_prompt", default="")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--t5", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model (pipeline smoke test)")
+    args = p.parse_args(argv)
+
+    pipe, text, pcfg = build_pipeline(args.checkpoint, args.t5, args.tiny)
+    first = load_image(args.first_image, (pcfg.height, pcfg.width))[None]
+    last = load_image(args.last_image, (pcfg.height, pcfg.width))[None]
+    cond = jnp.asarray(text.encode([args.prompt]))
+    uncond = jnp.asarray(text.encode([args.negative_prompt]))
+    video = pipe(jax.random.PRNGKey(args.seed), jnp.asarray(first),
+                 jnp.asarray(last), cond, uncond)
+    save_video_frames(np.asarray(video[0]), args.output_path, args.fps)
+    log.info("wrote %d frames to %s", video.shape[1], args.output_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from langscenex_tpu.utils.colormaps import turbo, apply_colormap, normalize
+from langscenex_tpu.utils.profiling import StepTimer
+from langscenex_tpu.train.vae import (VAETrainer, VAETrainConfig,
+                                      Discriminator3D)
+from langscenex_tpu.models.cogvideox.vae import VAEConfig
+
+
+class TestColormaps:
+    def test_turbo_range(self):
+        x = np.linspace(0, 1, 11)
+        rgb = turbo(x)
+        assert rgb.shape == (11, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+        assert not np.allclose(rgb[0], rgb[-1])
+
+    def test_apply_colormap_scalar_and_feature(self):
+        s = np.random.default_rng(0).uniform(0, 5, (8, 10))
+        out = apply_colormap(s)
+        assert out.shape == (8, 10, 3)
+        f = np.random.default_rng(1).normal(size=(4, 8, 10)).astype(np.float32)
+        out2 = apply_colormap(f)
+        assert out2.shape == (8, 10, 3)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer()
+        with t.phase("a"):
+            pass
+        with t.phase("a"):
+            pass
+        assert "a=" in t.summary()
+        assert t.count["a"] == 2
+
+
+class TestVAETrainer:
+    def test_loss_decreases(self):
+        cfg = VAEConfig(block_out_channels=(4, 8, 8, 8), layers_per_block=1,
+                        latent_channels=2, norm_groups=2)
+        tr = VAETrainer(cfg, VAETrainConfig(lr=3e-4, disc_start_step=1000),
+                        sample_shape=(1, 1, 3, 32, 32))
+        rng = np.random.default_rng(0)
+        batch = rng.uniform(-0.5, 0.5, (1, 1, 3, 32, 32)).astype(np.float32)
+        losses = []
+        key = jax.random.PRNGKey(0)
+        for i in range(25):
+            key, k = jax.random.split(key)
+            m = tr.train_step(batch, k)
+            losses.append(m["nll"])
+        assert losses[-1] < losses[0]
+
+    def test_discriminator_shapes(self):
+        d = Discriminator3D(base=4)
+        x = jnp.zeros((2, 3, 3, 32, 32))
+        params = d.init(jax.random.PRNGKey(0), x)
+        out = d.apply(params, x)
+        assert out.shape[0] == 2 and out.ndim == 4
+
+
+class TestVideoInferenceCLI:
+    def test_tiny_end_to_end(self, tmp_path):
+        from langscenex_tpu.video_inference import main as vi_main
+        rng = np.random.default_rng(2)
+        for name in ("a.png", "b.png"):
+            Image.fromarray((rng.uniform(0, 255, (64, 96, 3))
+                             ).astype(np.uint8)).save(tmp_path / name)
+        out = tmp_path / "out"
+        rc = vi_main(["--first_image", str(tmp_path / "a.png"),
+                      "--last_image", str(tmp_path / "b.png"),
+                      "--prompt", "test scene",
+                      "--output_path", str(out), "--tiny"])
+        assert rc == 0
+        frames = [f for f in os.listdir(out) if f.endswith(".png")]
+        assert len(frames) >= 3
