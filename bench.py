@@ -24,13 +24,21 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    jfn = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
-    s = float(jfn(*args))   # compile + warm
+
+    # Chain iterations through a scalar data dependency so the device
+    # executes them sequentially with ONE final fetch: per-iteration
+    # host fetches add ~25ms tunnel RTT each, and unfetched dispatches
+    # have been observed to report phantom sub-ms times.
+    def step(carry, _):
+        a0 = args[0] + carry * 1e-30
+        out = fn(a0, *args[1:])
+        return jnp.sum(out[0]), None
 
     n = 20
+    jfn = jax.jit(lambda: jax.lax.scan(step, jnp.zeros(()), None, length=n)[0])
+    s = float(jfn())        # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        s = float(jfn(*args))
+    s = float(jfn())
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
     print(json.dumps({

@@ -200,7 +200,12 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
     def _():
         dma_in(0, 0).start()
 
-        def body(ci, _):
+        def cond(state):
+            ci, all_done = state
+            return (ci < n_chunks) & (all_done < 0.5)
+
+        def body(state):
+            ci, _ = state
             slot = ci % 2
 
             @pl.when(ci + 1 < n_chunks)
@@ -229,9 +234,34 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
             carry_ref[...] = new_carry
             done_ref[...] = new_done
             obs_dma.wait()
-            return 0
+            # whole-tile early exit once every pixel terminated (CUDA's
+            # __syncthreads_count(done) == BLOCK_SIZE, forward.cu:340-342)
+            return ci + 1, jnp.min(new_done)
 
-        jax.lax.fori_loop(0, n_chunks, body, 0)
+        final_ci, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), jnp.zeros(())))
+
+        # early exit leaves one prefetched DMA in flight — retire it
+        @pl.when(final_ci < n_chunks)
+        def _():
+            dma_in(final_ci % 2, final_ci).wait()
+
+        # zero the obs rows of skipped chunks (the HBM output is
+        # uninitialized; stale rows would corrupt the observe scatter)
+        @pl.when(final_ci < n_chunks)
+        def _():
+            obs_buf[...] = jnp.zeros_like(obs_buf)
+
+            def zbody(ci, _):
+                zdma = pltpu.make_async_copy(
+                    obs_buf,
+                    obs_hbm.at[pl.ds((start + ci * S_CHUNK) // S_CHUNK, 1), :],
+                    obs_sem)
+                zdma.start()
+                zdma.wait()
+                return 0
+
+            jax.lax.fori_loop(final_ci, n_chunks, zbody, 0)
 
     img_ref[0, 0:16] = acc_ref[...]
     img_ref[0, 16:17] = jnp.exp(carry_ref[...])
