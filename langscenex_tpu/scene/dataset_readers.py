@@ -15,7 +15,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..ops.transforms import focal2fov, world_to_view
+from ..ops.transforms import focal2fov, fov2focal, world_to_view
 from .cameras import Camera, compute_nearest_cameras
 from . import colmap_io
 
@@ -182,6 +182,60 @@ def write_ply_points(path: str, pts: np.ndarray, cols: Optional[np.ndarray] = No
             f.write(pts.astype('<f4').tobytes())
 
 
+def read_blender_scene(path: str, white_background: bool = False,
+                       extension: str = ".png",
+                       seed: int = 0) -> SceneInfo:
+    """NeRF-synthetic transforms_*.json scenes (readNerfSyntheticInfo
+    :399-432 + readCamerasFromTransforms): c2w matrices with the OpenGL
+    y/z flip, fov from camera_angle_x; random init cloud in [-1.3, 1.3]^3
+    when no points3d.ply exists."""
+    import json
+    import math
+
+    def read_transforms(fname):
+        with open(os.path.join(path, fname)) as f:
+            meta = json.load(f)
+        fovx = meta["camera_angle_x"]
+        cams = []
+        for uid, frame in enumerate(meta["frames"]):
+            c2w = np.array(frame["transform_matrix"], np.float64)
+            # blender/OpenGL -> COLMAP: flip y and z axes
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            img_rel = frame["file_path"] + extension
+            img_path = os.path.join(path, img_rel.lstrip("./"))
+            W = H = 800
+            if os.path.exists(img_path):
+                from PIL import Image as PILImage
+                with PILImage.open(img_path) as im:
+                    W, H = im.size
+            fovy = focal2fov(fov2focal(fovx, W), H)
+            cams.append(Camera(
+                uid=uid, colmap_id=uid + 1, R=w2c[:3, :3].T, T=w2c[:3, 3],
+                fovx=fovx, fovy=fovy, width=W, height=H,
+                image_name=os.path.splitext(os.path.basename(img_rel))[0],
+                image_path=img_path))
+        return cams
+
+    cams = read_transforms("transforms_train.json")
+    test_path = os.path.join(path, "transforms_test.json")
+    if os.path.exists(test_path):
+        cams.extend(read_transforms("transforms_test.json"))
+
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        pts, cols = read_ply_points(ply_path)
+    else:
+        rng = np.random.default_rng(seed)
+        pts = (rng.random((100_000, 3)) * 2.6 - 1.3).astype(np.float32)
+        cols = (rng.random((100_000, 3)) / 255.0 * 0.28209479177387814
+                + 0.5).astype(np.float32)
+    translate, radius = nerfpp_norm(cams)
+    return SceneInfo(cameras=cams, points=pts, colors=cols,
+                     nerf_norm_radius=radius,
+                     nerf_norm_translate=translate)
+
+
 def load_scene(path: str, kind: str = "auto",
                multi_view_num: int = 8, max_angle: float = 30.0,
                min_dis: float = 0.01, max_dis: float = 1.5,
@@ -189,10 +243,18 @@ def load_scene(path: str, kind: str = "auto",
     """Scene assembly (scene/__init__.py:26-153): load, shuffle cameras,
     compute nearest-view sets."""
     if kind == "auto":
-        kind = "colmap" if os.path.isdir(os.path.join(path, "sparse")) \
-            else "cut3r"
-    info = (read_colmap_scene(path) if kind == "colmap"
-            else read_cut3r_scene(path))
+        if os.path.isdir(os.path.join(path, "sparse")):
+            kind = "colmap"
+        elif os.path.exists(os.path.join(path, "transforms_train.json")):
+            kind = "blender"
+        else:
+            kind = "cut3r"
+    if kind == "colmap":
+        info = read_colmap_scene(path)
+    elif kind == "blender":
+        info = read_blender_scene(path)
+    else:
+        info = read_cut3r_scene(path)
     if shuffle:
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(info.cameras))

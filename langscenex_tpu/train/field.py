@@ -586,7 +586,12 @@ class GaussianFieldTrainer:
     # ---------------- main loop ----------------
 
     def train(self, iterations: Optional[int] = None, log_every: int = 0,
-              callback=None):
+              callback=None, save_dir: Optional[str] = None,
+              save_iterations=(), checkpoint_iterations=()):
+        """Main loop. With ``save_dir``: PLY snapshots (with language/
+        instance channels) at ``save_iterations`` and full orbax TrainState
+        checkpoints at ``checkpoint_iterations`` plus optimized-pose npys —
+        the reference's three save artifacts (gaussian_field.py:516-549)."""
         cfg = self.cfg
         iterations = iterations or cfg.iterations
         metrics = {}
@@ -630,6 +635,20 @@ class GaussianFieldTrainer:
                 self.state = dataclasses.replace(
                     self.state, splats=res.state, stats=res.stats,
                     splat_opt=new_splat_opt)
+
+            if save_dir and it in set(save_iterations):
+                from ..scene.ply_io import save_ply
+                import os
+                save_ply(self.state.splats, os.path.join(
+                    save_dir, f"point_cloud/iteration_{it}/point_cloud.ply"))
+                os.makedirs(os.path.join(save_dir, f"pose/iter_{it}"),
+                            exist_ok=True)
+                np.save(os.path.join(save_dir,
+                                     f"pose/iter_{it}/pose_optimized.npy"),
+                        np.asarray(self.state.poses))
+            if save_dir and it in set(checkpoint_iterations):
+                from .checkpoint import save_checkpoint
+                save_checkpoint(save_dir, self.state, it)
 
             if log_every and it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}

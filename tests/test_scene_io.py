@@ -82,3 +82,27 @@ class TestPly:
                     "end_header\n0 0 0\n1 2 3\n")
         p3, _ = read_ply_points(str(tmp_path / "a.ply"))
         np.testing.assert_allclose(p3, pts)
+
+
+class TestBlenderScene:
+    def test_transforms_reader(self, tmp_path):
+        import json
+        frames = []
+        for i in range(3):
+            c2w = np.eye(4)
+            c2w[0, 3] = i * 0.2
+            c2w[2, 3] = 4.0
+            frames.append({"file_path": f"./train/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(tmp_path / "transforms_train.json", "w") as f:
+            json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+        from langscenex_tpu.scene.dataset_readers import (read_blender_scene,
+                                                          load_scene)
+        info = read_blender_scene(str(tmp_path))
+        assert len(info.cameras) == 3
+        assert info.points.shape[0] == 100_000
+        # blender y/z flip: camera center preserved
+        np.testing.assert_allclose(info.cameras[1].cam_center,
+                                   [0.2, 0, 4.0], atol=1e-6)
+        info2 = load_scene(str(tmp_path), shuffle=False)
+        assert len(info2.cameras) == 3
