@@ -119,27 +119,29 @@ class MemoryAttention(nn.Module):
 
 
 class MemoryBank(NamedTuple):
-    """Fixed-capacity streaming memory (sam2_base.py num_maskmem design):
-    static shapes so the whole propagation loop jits."""
-    feats: jnp.ndarray      # [SLOTS, H*W, mem_dim]
-    pos: jnp.ndarray        # [SLOTS, H*W, mem_dim] positional (incl. time)
-    valid: jnp.ndarray      # [SLOTS] bool
+    """Fixed-capacity PER-OBJECT streaming memory (sam2_base.py num_maskmem
+    design: one spatial-memory ring per tracked object; static shapes so
+    the whole propagation loop jits)."""
+    feats: jnp.ndarray      # [B, SLOTS, H*W, mem_dim]
+    pos: jnp.ndarray        # [B, SLOTS, H*W, mem_dim]
+    valid: jnp.ndarray      # [B, SLOTS] bool
     next_slot: jnp.ndarray  # [] int32 ring pointer over non-cond slots
 
 
-def init_bank(slots: int, hw: int, mem_dim: int) -> MemoryBank:
+def init_bank(num_obj: int, slots: int, hw: int, mem_dim: int) -> MemoryBank:
     return MemoryBank(
-        feats=jnp.zeros((slots, hw, mem_dim)),
-        pos=jnp.zeros((slots, hw, mem_dim)),
-        valid=jnp.zeros((slots,), bool),
+        feats=jnp.zeros((num_obj, slots, hw, mem_dim)),
+        pos=jnp.zeros((num_obj, slots, hw, mem_dim)),
+        valid=jnp.zeros((num_obj, slots), bool),
         next_slot=jnp.zeros((), jnp.int32))
 
 
 def bank_insert(bank: MemoryBank, feat: jnp.ndarray, pos: jnp.ndarray,
                 is_cond: bool) -> MemoryBank:
-    """Conditioning frames pin slot 0; others rotate through the ring
+    """Insert one frame's memory for every object. feat/pos [B, HW, D].
+    Conditioning frames pin slot 0; others rotate through the ring
     (sam2_base keeps the prompted frame's memory permanently)."""
-    slots = bank.feats.shape[0]
+    slots = bank.feats.shape[1]
     if is_cond:
         slot = jnp.zeros((), jnp.int32)
         nxt = bank.next_slot
@@ -147,18 +149,19 @@ def bank_insert(bank: MemoryBank, feat: jnp.ndarray, pos: jnp.ndarray,
         slot = 1 + (bank.next_slot % (slots - 1))
         nxt = bank.next_slot + 1
     return MemoryBank(
-        feats=bank.feats.at[slot].set(feat),
-        pos=bank.pos.at[slot].set(pos),
-        valid=bank.valid.at[slot].set(True),
+        feats=bank.feats.at[:, slot].set(feat),
+        pos=bank.pos.at[:, slot].set(pos),
+        valid=bank.valid.at[:, slot].set(True),
         next_slot=nxt)
 
 
 def bank_as_memory(bank: MemoryBank):
-    """Flatten the bank for cross attention; invalid slots are masked by
-    zeroing their keys (softmax still sees them — acceptable for the
-    zero-init embedding; exact masking would use -inf biases)."""
-    S, HW, D = bank.feats.shape
-    v = bank.valid[:, None, None].astype(jnp.float32)
-    feats = (bank.feats * v).reshape(1, S * HW, D)
-    pos = (bank.pos * v).reshape(1, S * HW, D)
+    """Flatten per-object banks for cross attention -> [B, S*HW, D];
+    invalid slots are masked by zeroing their keys (softmax still sees
+    them — acceptable for the zero-init embedding; exact masking would use
+    -inf biases)."""
+    B, S, HW, D = bank.feats.shape
+    v = bank.valid[:, :, None, None].astype(jnp.float32)
+    feats = (bank.feats * v).reshape(B, S * HW, D)
+    pos = (bank.pos * v).reshape(B, S * HW, D)
     return feats, pos

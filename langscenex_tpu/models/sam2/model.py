@@ -96,8 +96,6 @@ class SAM2VideoPredictor:
         mem, mem_pe = bank_as_memory(
             MemoryBank(bank_feats, bank_pos, bank_valid,
                        jnp.zeros((), jnp.int32)))
-        mem = jnp.broadcast_to(mem, (B,) + mem.shape[1:])
-        mem_pe = mem  # positional folded into features for the bank
         cond = apply(SAM2.condition_on_memory, feats, vision_pos, mem,
                      jnp.zeros_like(mem))
         # no-point prompt: decode from memory-conditioned features alone,
@@ -119,14 +117,12 @@ class SAM2VideoPredictor:
             out = self._encode(self.params, jnp.asarray(frames[t:t + 1]))
             feats.append(out)
         f0 = feats[0]["vision_feats"]
-        hw = f0.shape[1] * f0.shape[2]
-        slots = self.model.cfg.memory.num_maskmem
         return {
             "frames": frames,
             "feats": feats,
             "obj_ids": [],
             "prompts": {},        # frame_idx -> {obj_id: mask}
-            "bank": init_bank(slots, hw, self.model.cfg.memory.mem_dim),
+            "bank": None,         # created per propagation (B = n objects)
         }
 
     def add_new_mask(self, state: Dict, frame_idx: int, obj_id: int,
@@ -146,9 +142,12 @@ class SAM2VideoPredictor:
         B = len(obj_ids)
         if B == 0:
             return
-        bank = state["bank"]
         f0 = state["feats"][0]["vision_feats"]
         Hf, Wf = f0.shape[1:3]
+        bank = state["bank"]
+        if bank is None or bank.feats.shape[0] != B:
+            bank = init_bank(B, self.model.cfg.memory.num_maskmem,
+                             Hf * Wf, self.model.cfg.memory.mem_dim)
         for t in order:
             feats = state["feats"][t]["vision_feats"]
             vpos = state["feats"][t]["vision_pos"][None]
@@ -165,12 +164,11 @@ class SAM2VideoPredictor:
             masks, ious, mtok, new_mem = self._step(
                 self.params, featsB, vpos, bank.feats, bank.pos, bank.valid,
                 jnp.asarray(mask_prompt), jnp.asarray(use_prompt))
-            # insert mean-over-objects memory (single-bank approximation;
-            # the reference keeps per-object banks — planned refinement)
+            # per-object memories (sam2_base keeps one bank per object)
             is_cond = t in state["prompts"]
-            bank = bank_insert(bank, jnp.mean(new_mem, 0).reshape(
-                Hf * Wf, -1), jnp.zeros((Hf * Wf, new_mem.shape[-1])),
-                is_cond)
+            mem_flat = new_mem.reshape(B, Hf * Wf, -1)
+            bank = bank_insert(bank, mem_flat, jnp.zeros_like(mem_flat),
+                               is_cond)
             yield t, obj_ids, np.asarray(masks)
         state["bank"] = bank
 

@@ -103,17 +103,17 @@ class TestMemory:
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
     def test_bank_ring(self):
-        bank = init_bank(3, 16, 8)
-        f = jnp.ones((16, 8))
+        bank = init_bank(2, 3, 16, 8)           # 2 objects, 3 slots
+        f = jnp.ones((2, 16, 8))
         bank = bank_insert(bank, f, f, is_cond=True)
-        assert bool(bank.valid[0]) and not bool(bank.valid[1])
+        assert bool(bank.valid[0, 0]) and not bool(bank.valid[0, 1])
         bank = bank_insert(bank, 2 * f, f, is_cond=False)
         bank = bank_insert(bank, 3 * f, f, is_cond=False)
         bank = bank_insert(bank, 4 * f, f, is_cond=False)  # wraps to slot 1
-        assert float(bank.feats[1, 0, 0]) == 4.0
-        assert float(bank.feats[0, 0, 0]) == 1.0   # cond slot pinned
+        assert float(bank.feats[0, 1, 0, 0]) == 4.0
+        assert float(bank.feats[0, 0, 0, 0]) == 1.0   # cond slot pinned
         mem, _ = bank_as_memory(bank)
-        assert mem.shape == (1, 48, 8)
+        assert mem.shape == (2, 48, 8)
 
 
 class TestConnected:
