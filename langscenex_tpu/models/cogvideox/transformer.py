@@ -205,11 +205,12 @@ class CogVideoXTransformer(nn.Module):
 
         text_h = nn.Dense(cfg.hidden, name="text_proj")(text)
 
-        # timestep conditioning (sinusoidal -> MLP). temb stays at
-        # time_embed_dim (512): the per-block adaLN linears map 512 ->
-        # 6*hidden; projecting temb to hidden first would double the
-        # parameter count (measured 9.55B vs the correct ~5.8B)
-        temb = sinusoidal_timestep(timestep, cfg.time_embed_dim // 2 * 2)
+        # timestep conditioning: sinusoidal at hidden width (diffusers
+        # Timesteps(inner_dim)) -> MLP down to time_embed_dim (512). temb
+        # STAYS at 512: the per-block adaLN linears map 512 -> 6*hidden;
+        # projecting temb to hidden first would double the parameter
+        # count (measured 9.55B vs the correct ~5.8B)
+        temb = sinusoidal_timestep(timestep, cfg.hidden)
         temb = nn.Dense(cfg.time_embed_dim, name="time_fc1")(temb)
         temb = nn.silu(temb)
         temb = nn.Dense(cfg.time_embed_dim, name="time_fc2")(temb)

@@ -25,7 +25,7 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                 *, scale, kv_len, block_k):
+                 *, kv_len, block_k, needs_mask):
     kb = pl.program_id(2)
     is_first = kb == 0
     is_last = kb == pl.num_programs(2) - 1
@@ -36,15 +36,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                        # [Bq, D]
+    q = q_ref[0]                        # [Bq, D] (pre-scaled by caller)
     k = k_ref[0]                        # [Bk, D]
     v = v_ref[0]                        # [Bk, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [Bq, Bk]
-    # mask padded kv positions
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    if needs_mask:
+        # mask padded kv positions (lax.cond-gating this to the last
+        # k-block measured SLOWER — 145ms vs 93ms — Mosaic control flow
+        # breaks the software pipeline; unconditional select is cheap)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_ref[...]                 # [Bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -78,6 +81,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bk = min(block_k, Tk)
     Tp = ((T + bq - 1) // bq) * bq
     Tkp = ((Tk + bk - 1) // bk) * bk
+    q = q * jnp.asarray(scale, q.dtype)   # fold softmax scale into q
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
@@ -87,7 +91,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (B * H, Tp // bq, Tkp // bk)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=Tk, block_k=bk),
+        functools.partial(_attn_kernel, kv_len=Tk, block_k=bk,
+                          needs_mask=(Tkp != Tk)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),

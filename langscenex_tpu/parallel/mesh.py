@@ -52,3 +52,23 @@ def shard_batch_tree(tree, mesh: Mesh):
 def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+# Logical-axis rules for the TriMap DiT (models/cogvideox/transformer.py
+# annotates activations with 'batch'/'embed'/'mlp'): DP over the CFG pair /
+# videos rides 'data', TP over attention-head projections and the MLP
+# hidden dimension rides 'model'. GSPMD propagates the matching weight
+# shardings and inserts the ICI collectives.
+DIT_LOGICAL_RULES = (("batch", "data"), ("embed", "model"),
+                     ("mlp", "model"))
+
+
+def dit_sharded_apply(model, mesh: Mesh):
+    """Wrap model.apply with the DiT logical sharding rules bound to
+    ``mesh``. Returns apply_fn(params, latents, text, t)."""
+    import flax.linen as nn
+
+    def apply_fn(params, latents, text, t):
+        with mesh, nn.logical_axis_rules(DIT_LOGICAL_RULES):
+            return model.apply(params, latents, text, t)
+    return apply_fn

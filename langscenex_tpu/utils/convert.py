@@ -100,6 +100,80 @@ def convert_lpips_vgg(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params}
 
 
+def convert_cogvideox_dit(sd: Dict[str, np.ndarray]) -> Dict:
+    """diffusers CogVideoXTransformer3DModel state_dict -> flax params for
+    models/cogvideox/transformer.CogVideoXTransformer.
+
+    Key layout (diffusers 0.30+, the class the reference instantiates at
+    cogvideox_interpolation/pipeline.py:9-13): patch_embed.proj/.text_proj,
+    time_embedding.linear_1/2, transformer_blocks.N.{norm1,attn1,norm2,ff},
+    norm_final, norm_out.{norm,linear}, proj_out.
+
+    proj_out rows are reordered: torch unpatchify emits (c, ph, pw) per
+    token, ours emits (ph, pw, c).
+    """
+    p = {}
+    p["patch_embed"] = t2f_conv(sd["patch_embed.proj.weight"],
+                                sd["patch_embed.proj.bias"])
+    p["text_proj"] = t2f_linear(sd["patch_embed.text_proj.weight"],
+                                sd["patch_embed.text_proj.bias"])
+    p["time_fc1"] = t2f_linear(sd["time_embedding.linear_1.weight"],
+                               sd["time_embedding.linear_1.bias"])
+    p["time_fc2"] = t2f_linear(sd["time_embedding.linear_2.weight"],
+                               sd["time_embedding.linear_2.bias"])
+
+    n_layers = 0
+    while f"transformer_blocks.{n_layers}.norm1.linear.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        b = f"transformer_blocks.{i}"
+        blk = {}
+        for ours, theirs in (("norm1", "norm1"), ("norm2", "norm2")):
+            blk[ours] = {
+                "linear": t2f_linear(sd[f"{b}.{theirs}.linear.weight"],
+                                     sd[f"{b}.{theirs}.linear.bias"]),
+                "norm": t2f_layernorm(sd[f"{b}.{theirs}.norm.weight"],
+                                      sd[f"{b}.{theirs}.norm.bias"]),
+            }
+        attn = {}
+        for proj in ("to_q", "to_k", "to_v"):
+            attn[proj] = t2f_linear(sd[f"{b}.attn1.{proj}.weight"],
+                                    sd[f"{b}.attn1.{proj}.bias"])
+        attn["to_out"] = t2f_linear(sd[f"{b}.attn1.to_out.0.weight"],
+                                    sd[f"{b}.attn1.to_out.0.bias"])
+        for qk in ("norm_q", "norm_k"):
+            attn[qk] = t2f_layernorm(sd[f"{b}.attn1.{qk}.weight"],
+                                     sd[f"{b}.attn1.{qk}.bias"])
+        blk["attn"] = attn
+        blk["ff"] = {
+            "fc1": t2f_linear(sd[f"{b}.ff.net.0.proj.weight"],
+                              sd[f"{b}.ff.net.0.proj.bias"]),
+            "fc2": t2f_linear(sd[f"{b}.ff.net.2.weight"],
+                              sd[f"{b}.ff.net.2.bias"]),
+        }
+        p[f"block_{i}"] = blk
+
+    p["norm_final"] = t2f_layernorm(sd["norm_final.weight"],
+                                    sd["norm_final.bias"])
+    p["norm_out_linear"] = t2f_linear(sd["norm_out.linear.weight"],
+                                      sd["norm_out.linear.bias"])
+    p["norm_out"] = t2f_layernorm(sd["norm_out.norm.weight"],
+                                  sd["norm_out.norm.bias"])
+
+    # proj_out: [C*ps*ps, inner] rows ordered (c, ph, pw) -> (ph, pw, c)
+    w = np.asarray(sd["proj_out.weight"])
+    bias = np.asarray(sd["proj_out.bias"])
+    inner = w.shape[1]
+    # patch size from the patch-embed conv
+    ps = np.asarray(sd["patch_embed.proj.weight"]).shape[-1]
+    c_out = w.shape[0] // (ps * ps)
+    w = w.reshape(c_out, ps, ps, inner).transpose(1, 2, 0, 3
+                                                  ).reshape(-1, inner)
+    bias = bias.reshape(c_out, ps, ps).transpose(1, 2, 0).reshape(-1)
+    p["proj_out"] = t2f_linear(w, bias)
+    return {"params": p}
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")

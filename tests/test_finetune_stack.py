@@ -170,6 +170,86 @@ class TestConvert:
                                    1.0, rtol=1e-5)
 
 
+    def test_cogvideox_dit_conversion(self):
+        """Synthetic diffusers-layout state_dict converts into a tree that
+        matches the flax init exactly (paths + shapes) and runs."""
+        from langscenex_tpu.utils.convert import convert_cogvideox_dit
+        from langscenex_tpu.models.cogvideox.transformer import (
+            CogVideoXTransformer, TransformerConfig)
+        cfg = TransformerConfig(num_layers=2, num_heads=4, head_dim=16,
+                                in_channels=8, out_channels=4, patch_size=2,
+                                text_embed_dim=16, time_embed_dim=32,
+                                attn_dtype=jnp.float32)
+        h, te, p, rng = cfg.hidden, cfg.time_embed_dim, 2, np.random.default_rng(3)
+
+        def r(*shape):
+            return rng.normal(0, 0.02, shape).astype(np.float32)
+
+        sd = {
+            "patch_embed.proj.weight": r(h, cfg.in_channels, p, p),
+            "patch_embed.proj.bias": r(h),
+            "patch_embed.text_proj.weight": r(h, cfg.text_embed_dim),
+            "patch_embed.text_proj.bias": r(h),
+            "time_embedding.linear_1.weight": r(te, h),
+            "time_embedding.linear_1.bias": r(te),
+            "time_embedding.linear_2.weight": r(te, te),
+            "time_embedding.linear_2.bias": r(te),
+            "norm_final.weight": r(h), "norm_final.bias": r(h),
+            "norm_out.linear.weight": r(2 * h, te),
+            "norm_out.linear.bias": r(2 * h),
+            "norm_out.norm.weight": r(h), "norm_out.norm.bias": r(h),
+            "proj_out.weight": r(cfg.out_channels * p * p, h),
+            "proj_out.bias": r(cfg.out_channels * p * p),
+        }
+        for i in range(cfg.num_layers):
+            b = f"transformer_blocks.{i}"
+            for nm in ("norm1", "norm2"):
+                sd[f"{b}.{nm}.linear.weight"] = r(6 * h, te)
+                sd[f"{b}.{nm}.linear.bias"] = r(6 * h)
+                sd[f"{b}.{nm}.norm.weight"] = r(h)
+                sd[f"{b}.{nm}.norm.bias"] = r(h)
+            for proj in ("to_q", "to_k", "to_v"):
+                sd[f"{b}.attn1.{proj}.weight"] = r(h, h)
+                sd[f"{b}.attn1.{proj}.bias"] = r(h)
+            sd[f"{b}.attn1.to_out.0.weight"] = r(h, h)
+            sd[f"{b}.attn1.to_out.0.bias"] = r(h)
+            for qk in ("norm_q", "norm_k"):
+                sd[f"{b}.attn1.{qk}.weight"] = r(cfg.head_dim)
+                sd[f"{b}.attn1.{qk}.bias"] = r(cfg.head_dim)
+            sd[f"{b}.ff.net.0.proj.weight"] = r(4 * h, h)
+            sd[f"{b}.ff.net.0.proj.bias"] = r(4 * h)
+            sd[f"{b}.ff.net.2.weight"] = r(h, 4 * h)
+            sd[f"{b}.ff.net.2.bias"] = r(h)
+
+        converted = convert_cogvideox_dit(sd)
+        model = CogVideoXTransformer(cfg)
+        lat = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 12)).astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(1, 5, 16)).astype(np.float32))
+        t = jnp.array([100], jnp.int32)
+        ref_params = model.init(jax.random.PRNGKey(0), lat, txt, t)
+
+        ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref_params)
+        got_shapes = jax.tree_util.tree_map(lambda x: np.asarray(x).shape,
+                                            converted)
+        assert ref_shapes == got_shapes
+
+        out = model.apply(
+            jax.tree_util.tree_map(jnp.asarray, converted), lat, txt, t)
+        assert out.shape == (1, 3, 4, 8, 12)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        # proj_out row permutation: torch emits (c, ph, pw) per token, ours
+        # (ph, pw, c) — converted kernel must agree elementwise
+        x = rng.normal(size=(h,)).astype(np.float32)
+        y_torch = (sd["proj_out.weight"] @ x + sd["proj_out.bias"]
+                   ).reshape(cfg.out_channels, p, p)
+        kern = np.asarray(converted["params"]["proj_out"]["kernel"])
+        bias = np.asarray(converted["params"]["proj_out"]["bias"])
+        y_ours = (x @ kern + bias).reshape(p, p, cfg.out_channels)
+        np.testing.assert_allclose(y_torch, y_ours.transpose(2, 0, 1),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         import dataclasses
