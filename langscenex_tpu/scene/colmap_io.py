@@ -68,6 +68,15 @@ def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_images_binary(path: str) -> Dict[int, ColmapImage]:
+    from .. import native
+    parsed = native.read_images_binary(path)
+    if parsed is not None:
+        return {iid: ColmapImage(iid, q, t, cid, name)
+                for iid, (q, t, cid, name) in parsed.items()}
+    return _read_images_binary_py(path)
+
+
+def _read_images_binary_py(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path, 'rb') as f:
         n = struct.unpack('<Q', f.read(8))[0]
@@ -90,6 +99,14 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from .. import native
+    parsed = native.read_points3d_binary(path)
+    if parsed is not None:
+        return parsed
+    return _read_points3d_binary_py(path)
+
+
+def _read_points3d_binary_py(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     xyzs, rgbs, errs = [], [], []
     with open(path, 'rb') as f:
         n = struct.unpack('<Q', f.read(8))[0]

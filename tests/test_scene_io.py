@@ -106,3 +106,80 @@ class TestBlenderScene:
                                    [0.2, 0, 4.0], atol=1e-6)
         info2 = load_scene(str(tmp_path), shuffle=False)
         assert len(info2.cameras) == 3
+
+
+class TestColmapBinary:
+    """Binary parsers: C++ native path vs pure-Python fallback."""
+
+    @staticmethod
+    def _write_binary_scene(tmp_path, n_pts=50, n_imgs=3):
+        import struct
+        rng = np.random.default_rng(7)
+        xyz = rng.normal(size=(n_pts, 3))
+        rgb = rng.integers(0, 256, (n_pts, 3)).astype(np.uint8)
+        err = rng.random(n_pts)
+        with open(tmp_path / "points3D.bin", "wb") as f:
+            f.write(struct.pack("<Q", n_pts))
+            for i in range(n_pts):
+                f.write(struct.pack("<Q", i + 1))
+                f.write(struct.pack("<3d", *xyz[i]))
+                f.write(struct.pack("<3B", *rgb[i]))
+                f.write(struct.pack("<d", err[i]))
+                tl = int(rng.integers(0, 5))
+                f.write(struct.pack("<Q", tl))
+                f.write(b"\x00" * (8 * tl))
+        qv = rng.normal(size=(n_imgs, 4))
+        qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+        tv = rng.normal(size=(n_imgs, 3))
+        with open(tmp_path / "images.bin", "wb") as f:
+            f.write(struct.pack("<Q", n_imgs))
+            for i in range(n_imgs):
+                f.write(struct.pack("<i", i + 1))
+                f.write(struct.pack("<4d", *qv[i]))
+                f.write(struct.pack("<3d", *tv[i]))
+                f.write(struct.pack("<i", 1))
+                f.write(f"frame_{i:03d}.png".encode() + b"\x00")
+                npts = int(rng.integers(0, 4))
+                f.write(struct.pack("<Q", npts))
+                f.write(b"\x00" * (24 * npts))
+        return xyz, rgb, err, qv, tv
+
+    def test_points3d_native_matches_python(self, tmp_path):
+        xyz, rgb, err, _, _ = self._write_binary_scene(tmp_path)
+        p = str(tmp_path / "points3D.bin")
+        x2, c2, e2 = colmap_io._read_points3d_binary_py(p)
+        np.testing.assert_allclose(x2, xyz)
+        from langscenex_tpu import native
+        got = native.read_points3d_binary(p)
+        if got is None:
+            pytest.skip("no C++ toolchain")
+        x1, c1, e1 = got
+        np.testing.assert_allclose(x1, xyz)
+        np.testing.assert_allclose(c1, rgb.astype(np.float64))
+        np.testing.assert_allclose(e1.ravel(), err)
+        np.testing.assert_allclose(np.asarray(c2, np.float64), c1)
+        np.testing.assert_allclose(e2, e1)
+
+    def test_images_native_matches_python(self, tmp_path):
+        _, _, _, qv, tv = self._write_binary_scene(tmp_path)
+        p = str(tmp_path / "images.bin")
+        py = colmap_io._read_images_binary_py(p)
+        nat = colmap_io.read_images_binary(p)
+        assert set(py) == set(nat)
+        for iid in py:
+            np.testing.assert_allclose(nat[iid].qvec, py[iid].qvec)
+            np.testing.assert_allclose(nat[iid].tvec, py[iid].tvec)
+            assert nat[iid].camera_id == py[iid].camera_id
+            assert nat[iid].name == py[iid].name
+
+    def test_truncated_file_falls_back_or_raises(self, tmp_path):
+        import struct
+        # header promises 10 points but the file ends after one
+        with open(tmp_path / "points3D.bin", "wb") as f:
+            f.write(struct.pack("<Q", 10))
+            f.write(struct.pack("<Q", 1) + struct.pack("<3d", 0, 0, 0) +
+                    struct.pack("<3B", 1, 2, 3) + struct.pack("<d", 0.5) +
+                    struct.pack("<Q", 0))
+        from langscenex_tpu import native
+        assert native.read_points3d_binary(
+            str(tmp_path / "points3D.bin")) is None
