@@ -2,9 +2,11 @@
 
 Parity target: the T5EncoderModel/T5Tokenizer pair the pipeline loads
 (cogvideox_interpolation/pipeline.py:17,660-671: max 226 tokens, padded,
-embeddings fed to the DiT text stream). Uses transformers' FlaxT5 when
-checkpoint weights are available; otherwise a deterministic hash-embedding
-stub keeps the pipeline runnable end-to-end for tests and benches.
+embeddings fed to the DiT text stream). Prefers the TPU-native flax
+encoder (models/t5_encoder.py) fed by the torch->flax converter; falls
+back to a deterministic hash-embedding stub that keeps the pipeline
+runnable end-to-end for tests and benches when no checkpoint is
+available (no network egress in this environment).
 """
 from __future__ import annotations
 
@@ -19,23 +21,49 @@ class TextEncoder:
     def __init__(self, model_name_or_path: Optional[str] = None,
                  embed_dim: int = 4096):
         self.embed_dim = embed_dim
-        self._model = None
+        self._apply = None
         self._tok = None
         if model_name_or_path:
-            from transformers import AutoTokenizer, FlaxT5EncoderModel
-            self._tok = AutoTokenizer.from_pretrained(model_name_or_path)
-            self._model = FlaxT5EncoderModel.from_pretrained(
-                model_name_or_path)
+            self._load(model_name_or_path)
+
+    def _load(self, path: str) -> None:
+        """Torch checkpoint dir -> native flax encoder via the verified
+        converter (tests/test_t5.py checks numerical agreement)."""
+        import jax
+        import jax.numpy as jnp
+        from transformers import AutoTokenizer, T5EncoderModel
+        from .t5_encoder import T5Config, T5Encoder
+        from ..utils.convert import convert_t5_encoder
+
+        self._tok = AutoTokenizer.from_pretrained(path)
+        hf = T5EncoderModel.from_pretrained(path)
+        cfg = T5Config(
+            vocab_size=hf.config.vocab_size, d_model=hf.config.d_model,
+            d_kv=hf.config.d_kv, d_ff=hf.config.d_ff,
+            num_layers=hf.config.num_layers, num_heads=hf.config.num_heads,
+            relative_attention_num_buckets=
+            hf.config.relative_attention_num_buckets,
+            relative_attention_max_distance=
+            hf.config.relative_attention_max_distance)
+        params = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_t5_encoder({k: v.numpy() for k, v in
+                                hf.state_dict().items()}))
+        del hf
+        model = T5Encoder(cfg)
+        self.embed_dim = cfg.d_model
+        self._apply = jax.jit(lambda ids, mask: model.apply(
+            params, ids, mask))
 
     def encode(self, prompts: list[str]) -> np.ndarray:
         """[B] strings -> [B, MAX_LEN, embed_dim] float32."""
-        if self._model is not None:
+        if self._apply is not None:
             batch = self._tok(prompts, padding="max_length",
                               max_length=self.MAX_LEN, truncation=True,
                               return_tensors="np")
-            out = self._model(input_ids=batch["input_ids"],
-                              attention_mask=batch["attention_mask"])
-            return np.asarray(out.last_hidden_state, np.float32)
+            out = self._apply(batch["input_ids"].astype(np.int32),
+                              batch["attention_mask"].astype(np.int32))
+            return np.asarray(out, np.float32)
         # stub: deterministic per-token hash embeddings (keeps CFG
         # cond/uncond distinct and runs without any checkpoint)
         out = np.zeros((len(prompts), self.MAX_LEN, self.embed_dim),

@@ -174,6 +174,37 @@ def convert_cogvideox_dit(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": p}
 
 
+def convert_t5_encoder(sd: Dict[str, np.ndarray]) -> Dict:
+    """torch T5EncoderModel state_dict -> flax params for
+    models/t5_encoder.T5Encoder (validated numerically against torch at
+    random init in tests/test_t5.py — no checkpoint download needed)."""
+    p = {"token_embed": np.asarray(sd["shared.weight"])}
+    n_layers = 0
+    while f"encoder.block.{n_layers}.layer.0.layer_norm.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        b = f"encoder.block.{i}"
+        attn = {proj: t2f_linear(
+            sd[f"{b}.layer.0.SelfAttention.{proj}.weight"])
+            for proj in ("q", "k", "v", "o")}
+        if i == 0:
+            attn["relative_attention_bias"] = np.asarray(
+                sd[f"{b}.layer.0.SelfAttention."
+                   f"relative_attention_bias.weight"])
+        p[f"block_{i}"] = {
+            "attn": attn,
+            "ln_attn": {"weight": np.asarray(
+                sd[f"{b}.layer.0.layer_norm.weight"])},
+            "wi_0": t2f_linear(sd[f"{b}.layer.1.DenseReluDense.wi_0.weight"]),
+            "wi_1": t2f_linear(sd[f"{b}.layer.1.DenseReluDense.wi_1.weight"]),
+            "wo": t2f_linear(sd[f"{b}.layer.1.DenseReluDense.wo.weight"]),
+            "ln_ff": {"weight": np.asarray(
+                sd[f"{b}.layer.1.layer_norm.weight"])},
+        }
+    p["ln_final"] = {"weight": np.asarray(sd["encoder.final_layer_norm.weight"])}
+    return {"params": p}
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")
