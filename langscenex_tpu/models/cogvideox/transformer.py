@@ -43,6 +43,7 @@ class TransformerConfig:
     use_rotary: bool = True
     rope_base: float = 10000.0
     attn_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False   # per-block rematerialization for training
 
     @property
     def hidden(self) -> int:
@@ -222,9 +223,13 @@ class CogVideoXTransformer(nn.Module):
         rope = rope_3d(cfg, F, Hp, Wp) if cfg.use_rotary else None
 
         video = x
+        # remat trades the per-block activation stash for recompute in the
+        # backward pass — 42 blocks x 18k x 3072 bf16 activations don't fit
+        # HBM otherwise when fine-tuning
+        block_cls = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.num_layers):
-            video, text_h = Block(cfg, name=f"block_{i}")(video, text_h,
-                                                          temb, rope)
+            video, text_h = block_cls(cfg, name=f"block_{i}")(video, text_h,
+                                                              temb, rope)
 
         joint = jnp.concatenate([text_h, video], axis=1)
         joint = nn.LayerNorm(epsilon=1e-5, name="norm_final")(joint)

@@ -1,0 +1,105 @@
+"""DiT fine-tune trainer: loss decreases, remat parity, data-parallel."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langscenex_tpu.models.cogvideox.transformer import (
+    CogVideoXTransformer, TransformerConfig)
+from langscenex_tpu.train.dit import (DiTTrainConfig, make_dit_train_step,
+                                      make_parallel_dit_train_step)
+
+TINY = TransformerConfig(num_layers=2, num_heads=4, head_dim=16,
+                         in_channels=8, out_channels=4, patch_size=2,
+                         text_embed_dim=16, time_embed_dim=32,
+                         attn_dtype=jnp.float32)
+
+
+def _batch(B=2, key=0):
+    rng = np.random.default_rng(key)
+    return {
+        "x0": jnp.asarray(rng.normal(size=(B, 3, 4, 8, 12))
+                          .astype(np.float32)),
+        "cond": jnp.asarray(rng.normal(size=(B, 3, 4, 8, 12))
+                            .astype(np.float32)),
+        "text": jnp.asarray(rng.normal(size=(B, 5, 16)).astype(np.float32)),
+    }
+
+
+def _init_params(cfg=TINY, B=2):
+    model = CogVideoXTransformer(cfg)
+    b = _batch(B)
+    lat = jnp.concatenate([b["x0"], b["cond"]], axis=2)
+    return model, model.init(jax.random.PRNGKey(0), lat, b["text"],
+                             jnp.zeros((B,), jnp.int32))["params"]
+
+
+class TestDiTTrain:
+    def test_loss_decreases(self):
+        model, params = _init_params()
+        cfg = DiTTrainConfig(lr=2e-3, warmup_steps=2, total_steps=60,
+                             weight_decay=0.0)
+        init_state, step = make_dit_train_step(model, cfg)
+        jstep = jax.jit(step)
+        state = init_state(params)
+        batch = _batch()
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(40):
+            # fixed rng -> fixed (t, noise): a proper optimization problem
+            state, m = jstep(state, batch, rng)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.7, losses[::8]
+
+    def test_min_snr_weighting_changes_loss(self):
+        model, params = _init_params()
+        init_a, step_a = make_dit_train_step(model, DiTTrainConfig())
+        init_b, step_b = make_dit_train_step(
+            model, DiTTrainConfig(min_snr_gamma=5.0))
+        batch = _batch()
+        # weighting only differs from 1.0 where SNR > gamma (early
+        # timesteps) - pick a seed whose drawn t includes one
+        rng = None
+        for s in range(100):
+            cand = jax.random.PRNGKey(s)
+            rt, _ = jax.random.split(cand)
+            t = jax.random.randint(rt, (2,), 0, 1000)
+            if int(jnp.min(t)) < 30:
+                rng = cand
+                break
+        assert rng is not None
+        _, ma = jax.jit(step_a)(init_a(params), batch, rng)
+        _, mb = jax.jit(step_b)(init_b(params), batch, rng)
+        assert float(ma["loss"]) != float(mb["loss"])
+
+    def test_remat_matches_no_remat(self):
+        model, params = _init_params()
+        model_r = CogVideoXTransformer(
+            TransformerConfig(**{**TINY.__dict__, "remat": True}))
+        cfg = DiTTrainConfig(lr=1e-3, warmup_steps=1, total_steps=10,
+                             weight_decay=0.0)
+        batch = _batch()
+        rng = jax.random.PRNGKey(3)
+        init_s, step = make_dit_train_step(model, cfg)
+        init_r, step_r = make_dit_train_step(model_r, cfg)
+        _, m = jax.jit(step)(init_s(params), batch, rng)
+        _, mr = jax.jit(step_r)(init_r(params), batch, rng)
+        np.testing.assert_allclose(float(m["loss"]), float(mr["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m["grad_norm"]),
+                                   float(mr["grad_norm"]), rtol=1e-4)
+
+    def test_data_parallel_step(self):
+        from langscenex_tpu.parallel.mesh import make_mesh
+        model, params = _init_params(B=8)
+        mesh = make_mesh(n_data=8, n_model=1)
+        cfg = DiTTrainConfig(lr=1e-3, warmup_steps=1, total_steps=10)
+        init_state, jstep = make_parallel_dit_train_step(model, mesh, cfg)
+        state = init_state(params)
+        batch = _batch(B=8)
+        with mesh:
+            state, m = jstep(state, batch, jax.random.PRNGKey(4))
+            state, m2 = jstep(state, batch, jax.random.PRNGKey(5))
+        assert np.isfinite(float(m["loss"]))
+        assert int(state["step"]) == 2
