@@ -13,6 +13,7 @@ across k steps. Matmuls in bf16 on the MXU with f32 accumulation.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -114,12 +115,36 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, Tp, D)[:, :, :T]
 
 
+_SEQ_PARALLEL = None
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis: str = "data"):
+    """While active, attention_auto routes through the exact ppermute
+    ring kernel (ops/ring_attention.py) with the sequence sharded over
+    `axis` — the scaling path for >49-frame videos (SURVEY.md §5).
+    Wrap the jit-CALL site: the routing is baked in at trace time."""
+    global _SEQ_PARALLEL
+    prev = _SEQ_PARALLEL
+    _SEQ_PARALLEL = (mesh, axis)
+    try:
+        yield
+    finally:
+        _SEQ_PARALLEL = prev
+
+
 def attention_auto(q, k, v, scale=None, dtype=jnp.bfloat16,
                    flash_threshold: int = 2048):
     """Dispatch: Pallas flash attention on TPU for long sequences, fused
     einsum otherwise (used by models/cogvideox and models/vggt)."""
     T = q.shape[2]
     out_dtype = q.dtype
+    if _SEQ_PARALLEL is not None:
+        from .ring_attention import ring_attention_sharded
+        mesh, axis = _SEQ_PARALLEL
+        return ring_attention_sharded(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype), mesh,
+            axis, scale).astype(out_dtype)
     if jax.default_backend() == "tpu" and T >= flash_threshold:
         return flash_attention(q.astype(dtype), k.astype(dtype),
                                v.astype(dtype), scale).astype(out_dtype)

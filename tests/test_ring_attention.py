@@ -50,3 +50,37 @@ class TestRingAttention:
         ref = attention_auto(q, k, v, dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestSequenceParallelDispatch:
+    def test_padded_uneven_T(self):
+        # T=50 over 8 shards: pad to 56, mask the 6 pad keys
+        q, k, v = _qkv(T=50, key=5)
+        mesh = make_mesh(n_data=8, n_model=1)
+        out = ring_attention_sharded(q, k, v, mesh)
+        ref = attention_auto(q, k, v, dtype=jnp.float32)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_dit_forward_under_sequence_parallel(self):
+        from langscenex_tpu.models.cogvideox.transformer import (
+            CogVideoXTransformer, TransformerConfig)
+        from langscenex_tpu.ops.flash_attention import sequence_parallel
+        cfg = TransformerConfig(num_layers=2, num_heads=4, head_dim=16,
+                                in_channels=8, out_channels=4, patch_size=2,
+                                text_embed_dim=16, time_embed_dim=32,
+                                attn_dtype=jnp.float32)
+        model = CogVideoXTransformer(cfg)
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 12))
+                          .astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(1, 5, 16)).astype(np.float32))
+        t = jnp.array([100], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), lat, txt, t)
+        ref = model.apply(params, lat, txt, t)
+        mesh = make_mesh(n_data=8, n_model=1)
+        with sequence_parallel(mesh):
+            out = jax.jit(model.apply)(params, lat, txt, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
