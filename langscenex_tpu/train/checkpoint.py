@@ -14,7 +14,7 @@ reference interchange (scene/ply_io.py).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
@@ -23,7 +23,10 @@ import orbax.checkpoint as ocp
 from .field import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, iteration: int) -> None:
+def save_checkpoint(path: str, state: Any, iteration: int) -> None:
+    """Works for any pytree: the field TrainState, the DiT fine-tune
+    state (train/dit.py dicts incl. optimizer state), or LoRA adapter
+    trees (train/lora.py)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, f"chkpnt{iteration}"), state, force=True)
@@ -39,9 +42,9 @@ def latest_iteration(path: str) -> Optional[int]:
     return max(its) if its else None
 
 
-def restore_checkpoint(path: str, template: TrainState,
+def restore_checkpoint(path: str, template: Any,
                        iteration: Optional[int] = None
-                       ) -> Tuple[TrainState, int]:
+                       ) -> Tuple[Any, int]:
     path = os.path.abspath(path)
     it = iteration if iteration is not None else latest_iteration(path)
     if it is None:

@@ -103,3 +103,28 @@ class TestDiTTrain:
             state, m2 = jstep(state, batch, jax.random.PRNGKey(5))
         assert np.isfinite(float(m["loss"]))
         assert int(state["step"]) == 2
+
+
+def test_dit_state_checkpoint_roundtrip(tmp_path):
+    """The fine-tune state (params + opt + step) checkpoints through the
+    same orbax path the field trainer uses; resume mid-run reproduces
+    the exact next step."""
+    from langscenex_tpu.train.checkpoint import (save_checkpoint,
+                                                 restore_checkpoint)
+    model, params = _init_params()
+    cfg = DiTTrainConfig(lr=1e-3, warmup_steps=1, total_steps=20)
+    init_state, step = make_dit_train_step(model, cfg)
+    jstep = jax.jit(step)
+    state = init_state(params)
+    batch = _batch()
+    for i in range(3):
+        state, _ = jstep(state, batch, jax.random.PRNGKey(i))
+    save_checkpoint(str(tmp_path), state, 3)
+    restored, it = restore_checkpoint(str(tmp_path), state)
+    assert it == 3
+    s1, m1 = jstep(state, batch, jax.random.PRNGKey(99))
+    s2, m2 = jstep(restored, batch, jax.random.PRNGKey(99))
+    assert float(m1["loss"]) == float(m2["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(s1["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(s2["params"])[0]))
