@@ -44,6 +44,7 @@ class DiTTrainConfig:
     warmup_steps: int = 100
     total_steps: int = 10000
     min_snr_gamma: Optional[float] = None   # e.g. 5.0; None = plain MSE
+    ema_decay: Optional[float] = None       # e.g. 0.9999; None = off
     sched: SchedulerConfig = SchedulerConfig()
 
 
@@ -74,8 +75,11 @@ def make_dit_train_step(model: CogVideoXTransformer,
     opt = make_optimizer(cfg)
 
     def init_state(params):
-        return {"params": params, "opt": opt.init(params),
-                "step": jnp.zeros((), jnp.int32)}
+        state = {"params": params, "opt": opt.init(params),
+                 "step": jnp.zeros((), jnp.int32)}
+        if cfg.ema_decay is not None:
+            state["ema"] = jax.tree_util.tree_map(lambda x: x, params)
+        return state
 
     def loss_fn(params, batch, t, noise):
         x0 = batch["x0"]
@@ -104,9 +108,14 @@ def make_dit_train_step(model: CogVideoXTransformer,
         updates, new_opt = opt.update(grads, state["opt"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         gnorm = optax.global_norm(grads)
-        return ({"params": new_params, "opt": new_opt,
-                 "step": state["step"] + 1},
-                {"loss": loss, "grad_norm": gnorm})
+        new_state = {"params": new_params, "opt": new_opt,
+                     "step": state["step"] + 1}
+        if cfg.ema_decay is not None:
+            d = cfg.ema_decay
+            new_state["ema"] = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, state["ema"],
+                new_params)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
 
     return init_state, step
 

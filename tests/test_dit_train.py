@@ -128,3 +128,23 @@ def test_dit_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(s1["params"])[0]),
         np.asarray(jax.tree_util.tree_leaves(s2["params"])[0]))
+
+
+def test_ema_tracks_params():
+    model, params = _init_params()
+    cfg = DiTTrainConfig(lr=5e-3, warmup_steps=1, total_steps=20,
+                         weight_decay=0.0, ema_decay=0.5)
+    init_state, step = make_dit_train_step(model, cfg)
+    jstep = jax.jit(step)
+    state = init_state(params)
+    batch = _batch()
+    leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+    assert np.array_equal(np.asarray(leaf(state["ema"])),
+                          np.asarray(leaf(state["params"])))
+    for i in range(5):
+        state, _ = jstep(state, batch, jax.random.PRNGKey(i))
+    p, e = np.asarray(leaf(state["params"])), np.asarray(leaf(state["ema"]))
+    p0 = np.asarray(leaf(params))
+    # EMA moved off init, but lags behind the live params
+    assert np.abs(e - p0).max() > 0
+    assert np.abs(e - p0).max() < np.abs(p - p0).max()
