@@ -10,7 +10,6 @@ PRNG keys (parity is statistical, SURVEY.md §hard-parts #5).
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -28,7 +28,6 @@ Channel layout (config.h:15-20): 3 RGB + 3 language + 3 instance + 5 all_map
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
 import jax
