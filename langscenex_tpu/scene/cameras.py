@@ -133,6 +133,31 @@ class Camera:
         return fmap, mask, seg
 
 
+_WARNED_BIG = [False]
+
+
+def resolve_resolution(width: int, height: int, resolution: int = -1,
+                       resolution_scale: float = 1.0,
+                       max_px: int = 1600) -> Tuple[int, int]:
+    """camera_utils.loadCam sizing rules (field_construction/utils/
+    camera_utils.py): resolution > 0 divides directly; resolution == -1
+    auto-downscales so width <= max_px (1.6k rule, warning once);
+    resolution_scale multiplies on top."""
+    if resolution in (1, 2, 4, 8) or resolution > 0:
+        scale = resolution_scale * resolution
+    else:
+        if width > max_px:
+            if not _WARNED_BIG[0]:
+                _WARNED_BIG[0] = True
+                print("[cameras] large input images detected: "
+                      f"auto-downscaling to {max_px}px width "
+                      "(pass an explicit resolution to override)")
+            scale = resolution_scale * (width / max_px)
+        else:
+            scale = resolution_scale
+    return int(round(width / scale)), int(round(height / scale))
+
+
 def _resize_bilinear_chw(x: np.ndarray, H: int, W: int) -> np.ndarray:
     """[C,h,w] -> [C,H,W] bilinear, align_corners=False (torch interpolate)."""
     C, h, w = x.shape

@@ -183,3 +183,17 @@ class TestColmapBinary:
         from langscenex_tpu import native
         assert native.read_points3d_binary(
             str(tmp_path / "points3D.bin")) is None
+
+
+def test_resolve_resolution():
+    from langscenex_tpu.scene.cameras import resolve_resolution
+    # explicit divisor
+    assert resolve_resolution(1440, 960, resolution=2) == (720, 480)
+    # auto 1.6k rule
+    w, h = resolve_resolution(3200, 2400, resolution=-1)
+    assert w == 1600 and h == 1200
+    # small images untouched
+    assert resolve_resolution(720, 480, resolution=-1) == (720, 480)
+    # resolution_scale stacks
+    assert resolve_resolution(720, 480, resolution=-1,
+                              resolution_scale=2.0) == (360, 240)
