@@ -80,3 +80,27 @@ class TestVideoInferenceCLI:
         assert rc == 0
         frames = [f for f in os.listdir(out) if f.endswith(".png")]
         assert len(frames) >= 3
+
+
+def test_finetune_cli_smoke(tmp_path):
+    """python -m langscenex_tpu.finetune --tiny: full loop incl. dataset,
+    stub encoder, trainer, checkpoint write; and the --lora variant."""
+    from PIL import Image
+    import numpy as np
+    from langscenex_tpu.finetune import main
+    rng = np.random.default_rng(0)
+    vid = tmp_path / "data" / "vid0"
+    vid.mkdir(parents=True)
+    for i in range(20):
+        Image.fromarray(rng.uniform(0, 255, (64, 96, 3)).astype("uint8")
+                        ).save(vid / f"{i:04d}.png")
+    out = tmp_path / "out"
+    m = main(["--data", str(tmp_path / "data"), "--tiny", "--steps", "2",
+              "--batch", "1", "--out", str(out), "--save-every", "0",
+              "--log-every", "1"])
+    assert np.isfinite(m["loss"])
+    assert (out / "chkpnt2").exists()
+    m2 = main(["--data", str(tmp_path / "data"), "--tiny", "--steps", "2",
+               "--lora", "--rank", "2", "--out", str(tmp_path / "out2"),
+               "--save-every", "0"])
+    assert np.isfinite(m2["loss"])
