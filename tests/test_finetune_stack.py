@@ -280,3 +280,81 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(restored.splats.xyz),
                                    np.asarray(state.splats.xyz))
         assert int(restored.step) == 42
+
+
+class TestLPIPSTorchParity:
+    def test_matches_torchvision_vgg_features_and_lpips(self):
+        """convert_lpips_vgg cross-validated numerically: torchvision
+        VGG16 at random init -> taming-style state_dict -> flax; tap
+        features and the full LPIPS value must match a torch-side
+        reference computation."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+        from langscenex_tpu.models.lpips import LPIPS, VGG16Features
+        from langscenex_tpu.utils.convert import convert_lpips_vgg
+
+        torch.manual_seed(0)
+        # torchvision isn't in this image: build the VGG16 `features`
+        # stack manually (identical module layout incl. indices)
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, prev = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(prev, v, 3, padding=1), tnn.ReLU()]
+                prev = v
+        vgg = tnn.Sequential(*layers).eval()
+        rng = np.random.default_rng(0)
+        sd = {f"net.features.{k}": v.numpy()
+              for k, v in vgg.state_dict().items()}
+        lin_ws = [rng.uniform(0, 1, (1, c, 1, 1)).astype(np.float32)
+                  for c in (64, 128, 256, 512, 512)]
+        for i, w in enumerate(lin_ws):
+            sd[f"lin{i}.model.1.weight"] = w
+        variables = convert_lpips_vgg(sd)
+
+        a = rng.normal(0, 0.5, (1, 3, 64, 64)).astype(np.float32).clip(-1, 1)
+        b = rng.normal(0, 0.5, (1, 3, 64, 64)).astype(np.float32).clip(-1, 1)
+
+        # torch-side reference (taming LPIPS algorithm)
+        shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+        tap_idx = {3: 0, 8: 1, 15: 2, 22: 3, 29: 4}   # relu layers in vgg16
+
+        def torch_taps(x):
+            h = (torch.tensor(x) - shift) / scale
+            taps = {}
+            for i, layer in enumerate(vgg):
+                h = layer(h)
+                if i in tap_idx:
+                    taps[tap_idx[i]] = h
+            return taps
+
+        with torch.no_grad():
+            ta, tb = torch_taps(a), torch_taps(b)
+            ref = 0.0
+            for i in range(5):
+                na = ta[i] / ta[i].pow(2).sum(1, keepdim=True).clamp_min(
+                    1e-20).sqrt()
+                nb = tb[i] / tb[i].pow(2).sum(1, keepdim=True).clamp_min(
+                    1e-20).sqrt()
+                d = (na - nb) ** 2
+                w = torch.tensor(lin_ws[i])
+                ref = ref + (d * w).sum(1, keepdim=True).mean()
+            ref = float(ref)
+
+        # feature-level parity at the last tap
+        feats = VGG16Features().apply(
+            {"params": jax.tree_util.tree_map(
+                jnp.asarray, variables["params"]["vgg"])}, jnp.asarray(a))
+        np.testing.assert_allclose(
+            np.asarray(feats[4]).transpose(0, 3, 1, 2),
+            ta[4].numpy(), atol=1e-3, rtol=1e-3)
+
+        got = float(LPIPS().apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray,
+                                              variables["params"])},
+            jnp.asarray(a), jnp.asarray(b))[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
