@@ -55,3 +55,46 @@ def test_mesh_helpers():
     assert sharded["a"].sharding.spec[0] == "data"
     rep = replicate_tree({"b": x}, mesh)
     assert rep["b"].sharding.is_fully_replicated
+
+
+def test_denoise_loop_tensor_parallel():
+    """Full CFG denoise loop with the DiT sharded (data=2, model=4):
+    the CFG pair rides 'data', heads/MLP ride 'model'. Must equal the
+    unsharded loop."""
+    import jax.numpy as jnp
+    from langscenex_tpu.parallel.mesh import make_mesh, dit_sharded_apply
+    from langscenex_tpu.models.cogvideox.transformer import (
+        CogVideoXTransformer, TransformerConfig)
+    from langscenex_tpu.models.cogvideox.pipeline import (
+        PipelineConfig, denoise_loop)
+    from langscenex_tpu.models.cogvideox.scheduler import DDIMScheduler
+
+    tcfg = TransformerConfig(num_layers=1, num_heads=4, head_dim=16,
+                             in_channels=8, out_channels=4, patch_size=2,
+                             text_embed_dim=16, time_embed_dim=32,
+                             attn_dtype=jnp.float32)
+    model = CogVideoXTransformer(tcfg)
+    rng = np.random.default_rng(0)
+    B, F, C, H, W = 1, 2, 4, 4, 4
+    noise = jnp.asarray(rng.normal(size=(B, F, C, H, W)).astype(np.float32))
+    img_lat = jnp.asarray(rng.normal(size=(B, F, C, H, W))
+                          .astype(np.float32))
+    tc = jnp.asarray(rng.normal(size=(B, 3, 16)).astype(np.float32))
+    tu = jnp.zeros_like(tc)
+    lat0 = jnp.concatenate([jnp.concatenate([noise, noise], 0),
+                            jnp.concatenate([img_lat, img_lat], 0)], axis=2)
+    params = model.init(jax.random.PRNGKey(0), lat0,
+                        jnp.concatenate([tu, tc], 0),
+                        jnp.zeros((2 * B,), jnp.int32))
+    pcfg = PipelineConfig(num_inference_steps=3, guidance_scale=6.0)
+    sched = DDIMScheduler()
+
+    dense = lambda lat, txt, t: model.apply(params, lat, txt, t)
+    ref = denoise_loop(dense, noise, img_lat, tc, tu, sched, pcfg)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    sharded = dit_sharded_apply(model, mesh)
+    tp = jax.jit(lambda lat, txt, t: sharded(params, lat, txt, t))
+    out = denoise_loop(tp, noise, img_lat, tc, tu, sched, pcfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
