@@ -358,3 +358,59 @@ class TestLPIPSTorchParity:
                                               variables["params"])},
             jnp.asarray(a), jnp.asarray(b))[0])
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestAEConverterTorchParity:
+    def test_matches_torch_sequential(self):
+        """convert_autoencoder cross-validated against a torch module
+        with the reference's exact layout (BN+ReLU before every hidden
+        Linear in the encoder; ReLU-MLP decoder; L2 norms)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+        import torch.nn.functional as tF
+        from langscenex_tpu.models.autoencoder import Autoencoder
+
+        torch.manual_seed(3)
+        enc_dims = [512, 256, 128, 64, 32, 16, 3]
+        dec_dims = [16, 32, 64, 128, 256, 512, 768]
+        enc_layers, prev = [], 768
+        for i, d in enumerate(enc_dims):
+            if i > 0:
+                enc_layers += [tnn.BatchNorm1d(prev), tnn.ReLU()]
+            enc_layers.append(tnn.Linear(prev, d))
+            prev = d
+        dec_layers, prev = [], 3
+        for i, d in enumerate(dec_dims):
+            if i > 0:
+                dec_layers.append(tnn.ReLU())
+            dec_layers.append(tnn.Linear(prev, d))
+            prev = d
+        encoder = tnn.Sequential(*enc_layers).eval()
+        decoder = tnn.Sequential(*dec_layers).eval()
+        # non-trivial running stats
+        for m in encoder:
+            if isinstance(m, tnn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+
+        sd = {}
+        for k, v in encoder.state_dict().items():
+            if not k.endswith("num_batches_tracked"):
+                sd[f"encoder.{k}"] = v.numpy()
+        for k, v in decoder.state_dict().items():
+            sd[f"decoder.{k}"] = v.numpy()
+        variables = convert_autoencoder(sd)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(8, 768)).astype(np.float32)
+        with torch.no_grad():
+            z = encoder(torch.tensor(x))
+            z = z / z.norm(dim=-1, keepdim=True).clamp_min(1e-6)
+            y = decoder(z)
+            ref = (y / y.norm(dim=-1, keepdim=True).clamp_min(1e-6)).numpy()
+        out = Autoencoder().apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5,
+                                   rtol=2e-5)
