@@ -58,6 +58,13 @@ def main(argv=None) -> int:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     argv = argv if argv is not None else sys.argv[1:]
+    if any(a in ("-h", "--help") for a in argv):
+        print("usage: python -m langscenex_tpu.entry_point [key=value ...]\n"
+              "  mode=train|render|eval   seed=42\n"
+              "  pipeline.data_path=...   gaussian.opt.iterations=12000\n"
+              "Dotted keys override the typed configs in utils/config.py\n"
+              "(same override grammar as the reference's Hydra CLI).")
+        return 0
     overrides = {}
     for arg in argv:
         if "=" not in arg:
