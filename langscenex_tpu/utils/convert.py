@@ -205,6 +205,149 @@ def convert_t5_encoder(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": p}
 
 
+def _vggt_block(sd: Dict[str, np.ndarray], p: str) -> Dict:
+    """One ViT block (vggt/layers/block.py layout: norm1/attn/ls?/norm2/
+    mlp) -> models/vggt.ViTBlock params. LayerScale and qk-norm entries are
+    emitted only when present in the state_dict."""
+    attn = {"qkv": t2f_linear(sd[f"{p}.attn.qkv.weight"],
+                              sd.get(f"{p}.attn.qkv.bias")),
+            "proj": t2f_linear(sd[f"{p}.attn.proj.weight"],
+                               sd.get(f"{p}.attn.proj.bias"))}
+    if f"{p}.attn.q_norm.weight" in sd:
+        attn["q_norm"] = t2f_layernorm(sd[f"{p}.attn.q_norm.weight"],
+                                       sd[f"{p}.attn.q_norm.bias"])
+        attn["k_norm"] = t2f_layernorm(sd[f"{p}.attn.k_norm.weight"],
+                                       sd[f"{p}.attn.k_norm.bias"])
+    blk = {
+        "norm1": t2f_layernorm(sd[f"{p}.norm1.weight"],
+                               sd[f"{p}.norm1.bias"]),
+        "norm2": t2f_layernorm(sd[f"{p}.norm2.weight"],
+                               sd[f"{p}.norm2.bias"]),
+        "attn": attn,
+        "mlp_fc1": t2f_linear(sd[f"{p}.mlp.fc1.weight"],
+                              sd[f"{p}.mlp.fc1.bias"]),
+        "mlp_fc2": t2f_linear(sd[f"{p}.mlp.fc2.weight"],
+                              sd[f"{p}.mlp.fc2.bias"]),
+    }
+    if f"{p}.ls1.gamma" in sd:
+        blk["ls1"] = {"gamma": np.asarray(sd[f"{p}.ls1.gamma"])}
+        blk["ls2"] = {"gamma": np.asarray(sd[f"{p}.ls2.gamma"])}
+    return blk
+
+
+def _count(sd: Dict, fmt: str) -> int:
+    n = 0
+    while fmt.format(n) in sd:
+        n += 1
+    return n
+
+
+def _vggt_dpt_head(sd: Dict[str, np.ndarray], h: str) -> Dict:
+    """One DPT head (vggt/heads/dpt_head.py layout) -> models/vggt.DPTHead
+    params. ConvTranspose resize weights stay in torch (Cin,Cout,k,k)
+    layout — StridedDeconv consumes them verbatim."""
+    d = {"norm": t2f_layernorm(sd[f"{h}.norm.weight"], sd[f"{h}.norm.bias"])}
+    for i in range(4):
+        d[f"projects_{i}"] = t2f_conv(sd[f"{h}.projects.{i}.weight"],
+                                      sd[f"{h}.projects.{i}.bias"])
+    for i in (0, 1):
+        d[f"resize_layers_{i}"] = {
+            "weight": np.asarray(sd[f"{h}.resize_layers.{i}.weight"]),
+            "bias": np.asarray(sd[f"{h}.resize_layers.{i}.bias"])}
+    d["resize_layers_3"] = t2f_conv(sd[f"{h}.resize_layers.3.weight"],
+                                    sd[f"{h}.resize_layers.3.bias"])
+    for i in range(1, 5):
+        d[f"layer{i}_rn"] = t2f_conv(sd[f"{h}.scratch.layer{i}_rn.weight"])
+    for i in range(1, 5):
+        r = f"{h}.scratch.refinenet{i}"
+        blk = {}
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            if f"{r}.{unit}.conv1.weight" in sd:
+                blk[unit] = {
+                    "conv1": t2f_conv(sd[f"{r}.{unit}.conv1.weight"],
+                                      sd[f"{r}.{unit}.conv1.bias"]),
+                    "conv2": t2f_conv(sd[f"{r}.{unit}.conv2.weight"],
+                                      sd[f"{r}.{unit}.conv2.bias"])}
+        blk["out_conv"] = t2f_conv(sd[f"{r}.out_conv.weight"],
+                                   sd[f"{r}.out_conv.bias"])
+        d[f"refinenet{i}"] = blk
+    d["output_conv1"] = t2f_conv(sd[f"{h}.scratch.output_conv1.weight"],
+                                 sd[f"{h}.scratch.output_conv1.bias"])
+    d["output_conv2_0"] = t2f_conv(sd[f"{h}.scratch.output_conv2.0.weight"],
+                                   sd[f"{h}.scratch.output_conv2.0.bias"])
+    d["output_conv2_2"] = t2f_conv(sd[f"{h}.scratch.output_conv2.2.weight"],
+                                   sd[f"{h}.scratch.output_conv2.2.bias"])
+    return d
+
+
+def convert_vggt(sd: Dict[str, np.ndarray]) -> Dict:
+    """facebook/VGGT-1B state_dict (vggt/models/vggt.py:18-26 layout:
+    aggregator{patch_embed=DINOv2 ViT-L/14-reg, frame_blocks, global_blocks,
+    camera_token, register_token}, camera_head, depth_head, point_head)
+    -> flax params for models/vggt.VGGT.
+
+    The track head is not ported (unused by the reference pipeline —
+    pose_estimator/__init__.py:227-294 consumes only camera+depth heads);
+    its keys and the DINOv2 mask_token are dropped.
+    Numerically validated against a random-init torch mirror in
+    tests/test_vggt.py::TestVGGTConversion."""
+    agg = {}
+    # DINOv2 patch-embed ViT
+    pe = {"patch_embed_proj": t2f_conv(
+        sd["aggregator.patch_embed.patch_embed.proj.weight"],
+        sd["aggregator.patch_embed.patch_embed.proj.bias"]),
+        "cls_token": np.asarray(sd["aggregator.patch_embed.cls_token"]),
+        "pos_embed": np.asarray(sd["aggregator.patch_embed.pos_embed"]),
+        "register_tokens": np.asarray(
+            sd["aggregator.patch_embed.register_tokens"]),
+        "norm": t2f_layernorm(sd["aggregator.patch_embed.norm.weight"],
+                              sd["aggregator.patch_embed.norm.bias"])}
+    n_vit = _count(sd, "aggregator.patch_embed.blocks.{}.norm1.weight")
+    for i in range(n_vit):
+        pe[f"blocks_{i}"] = _vggt_block(
+            sd, f"aggregator.patch_embed.blocks.{i}")
+    agg["patch_embed"] = pe
+
+    agg["camera_token"] = np.asarray(sd["aggregator.camera_token"])
+    agg["register_token"] = np.asarray(sd["aggregator.register_token"])
+    n_aa = _count(sd, "aggregator.frame_blocks.{}.norm1.weight")
+    for i in range(n_aa):
+        agg[f"frame_blocks_{i}"] = _vggt_block(
+            sd, f"aggregator.frame_blocks.{i}")
+        agg[f"global_blocks_{i}"] = _vggt_block(
+            sd, f"aggregator.global_blocks.{i}")
+
+    cam = {
+        "token_norm": t2f_layernorm(sd["camera_head.token_norm.weight"],
+                                    sd["camera_head.token_norm.bias"]),
+        "trunk_norm": t2f_layernorm(sd["camera_head.trunk_norm.weight"],
+                                    sd["camera_head.trunk_norm.bias"]),
+        "empty_pose_tokens": np.asarray(sd["camera_head.empty_pose_tokens"]),
+        "embed_pose": t2f_linear(sd["camera_head.embed_pose.weight"],
+                                 sd["camera_head.embed_pose.bias"]),
+        # nn.Sequential(SiLU, Linear) — params live at index 1
+        "poseLN_modulation": t2f_linear(
+            sd["camera_head.poseLN_modulation.1.weight"],
+            sd["camera_head.poseLN_modulation.1.bias"]),
+        "pose_branch_fc1": t2f_linear(
+            sd["camera_head.pose_branch.fc1.weight"],
+            sd["camera_head.pose_branch.fc1.bias"]),
+        "pose_branch_fc2": t2f_linear(
+            sd["camera_head.pose_branch.fc2.weight"],
+            sd["camera_head.pose_branch.fc2.bias"]),
+    }
+    n_trunk = _count(sd, "camera_head.trunk.{}.norm1.weight")
+    for i in range(n_trunk):
+        cam[f"trunk_{i}"] = _vggt_block(sd, f"camera_head.trunk.{i}")
+
+    p = {"aggregator": agg, "camera_head": cam}
+    if "depth_head.norm.weight" in sd:
+        p["depth_head"] = _vggt_dpt_head(sd, "depth_head")
+    if "point_head.norm.weight" in sd:
+        p["point_head"] = _vggt_dpt_head(sd, "point_head")
+    return {"params": p}
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")
