@@ -5,9 +5,10 @@ vendors (auto-seg/submodules/segment-anything-1/segment_anything/
 automatic_mask_generator.py:137-169), which returns FOUR granularity
 levels (default, small, medium, large) per grid point instead of one
 best mask. Here: a regular point grid is decoded in static-size batches
-through the (SAM2) mask decoder without memory, producing 4 candidate
-masks per point (the single-mask token + 3 multimask tokens), then
-quality filtering + NMS per level.
+through the SAM2 mask decoder on no-memory features, producing 4
+candidate masks per point (the stability-selected single-mask token + the
+3 multimask tokens = small/medium/large), then quality filtering + NMS
+per level.
 
 TPU-first: all points decode as one batched jitted program; NMS runs on
 the mask IoU matrix via ops/connected.mask_nms (MXU matmul IoUs).
@@ -57,38 +58,46 @@ class AutomaticMaskGenerator:
         self.model = model
         self.params = params
         self.cfg = cfg
+        self.image_size = model.cfg.image_size
         self._encode = jax.jit(
-            lambda p, im: model.apply(p, im, method=SAM2.encode_image))
+            lambda p, im: model.apply(p, im, method=SAM2.forward_image))
 
-        def decode_batch(params, feats, coords):
+        def decode_batch(params, feats, high0, high1, coords):
             B = coords.shape[0]
             featsB = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
+            h0 = jnp.broadcast_to(high0, (B,) + high0.shape[1:])
+            h1 = jnp.broadcast_to(high1, (B,) + high1.shape[1:])
+            nomem = model.apply(params, featsB,
+                                method=SAM2.add_no_mem_embed)
             labels = jnp.ones((B, 1), jnp.int32)
-            # multimask (3) + single-mask decode (1) = the 4 levels of the
-            # modified SAM1 generator
-            m3, iou3, _ = model.apply(params, featsB, coords[:, None],
-                                      labels, None, True,
-                                      method=SAM2.decode_masks)
-            m1, iou1, _ = model.apply(params, featsB, coords[:, None],
-                                      labels, None, False,
-                                      method=SAM2.decode_masks)
+            # 3 multimask tokens (small/medium/large of the modified SAM1)
+            m3, _, i3, _, _, _, _ = model.apply(
+                params, nomem, coords[:, None], labels, None, [h0, h1],
+                True, method=SAM2.forward_sam_heads)
+            # single-mask token w/ stability fallback = the default level
+            m1, _, i1, _, _, _, _ = model.apply(
+                params, nomem, coords[:, None], labels, None, [h0, h1],
+                False, method=SAM2.forward_sam_heads)
             return (jnp.concatenate([m1, m3], 1),
-                    jnp.concatenate([iou1, iou3], 1))
+                    jnp.concatenate([i1, i3], 1))
 
         self._decode = jax.jit(decode_batch)
 
     def generate(self, image: np.ndarray) -> Tuple[List[Dict], ...]:
         """image [3,H,W] in [0,1] -> 4 lists of mask dicts
         (default, small, medium, large), each entry
-        {segmentation [H,W] bool, predicted_iou, stability_score}."""
+        {segmentation [h,w] bool at low-res (image_size/4), predicted_iou,
+        stability_score} — mirroring the (default,s,m,l) tuple contract of
+        the modified SAM1 generator."""
         cfg = self.cfg
-        feats = self._encode(self.params, jnp.asarray(image[None]))
-        vf = feats["vision_feats"]
-        grid = point_grid(cfg.points_per_side)
+        out_enc = self._encode(self.params, jnp.asarray(image[None]))
+        fpn = out_enc["backbone_fpn"]
+        grid = point_grid(cfg.points_per_side) * self.image_size
         levels = [[] for _ in range(4)]
         for s in range(0, grid.shape[0], cfg.points_per_batch):
             pts = jnp.asarray(grid[s:s + cfg.points_per_batch])
-            masks, ious = self._decode(self.params, vf, pts)
+            masks, ious = self._decode(self.params, fpn[-1], fpn[0],
+                                       fpn[1], pts)
             masks = np.asarray(masks)      # [B, 4, h, w]
             ious = np.asarray(ious)
             stab = np.asarray(stability_score(jnp.asarray(masks),

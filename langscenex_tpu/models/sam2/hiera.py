@@ -1,24 +1,30 @@
 """Hiera hierarchical ViT image encoder + FPN neck, in flax.
 
-Parity target: auto-seg/sam2/modeling/backbones/hieradet.py:167 (Hiera) and
-the FPN neck in auto-seg/sam2/modeling/backbone_utils. Hiera-L config:
-embed 144, heads 2, stages [2, 6, 36, 4], global attention at blocks
-23/33/43, window sizes [8, 4, 14, 7] (sam2_configs/sam2_hiera_l.yaml:10-16).
+Parity targets (1:1 weight-mappable via utils/convert.convert_sam2,
+validated in tests/test_sam2.py against a torch mirror):
+  auto-seg/sam2/modeling/backbones/hieradet.py:23-291   Hiera trunk
+  auto-seg/sam2/modeling/backbones/image_encoder.py:14-133  ImageEncoder +
+      FpnNeck (reversed conv indexing, top-down only at fpn_top_down_levels,
+      scalp discards the lowest-res level)
+  auto-seg/sam2/modeling/position_encoding.py:16-112   PositionEmbeddingSine
+  auto-seg/sam2_configs/sam2_hiera_l.yaml               Hiera-L: embed 144,
+      heads 2, stages [2,6,36,4], global attn @ 23/33/43, window_spec
+      [8,4,16,8], pos-embed bkg (7,7), fpn_top_down_levels [2,3], scalp 1
 
-Structure: patch embed (7x7 stride 4), per-stage windowed attention blocks
-with q-pooling at stage transitions (2x spatial downsample, channel
-doubling), a handful of global-attention blocks, then an FPN neck fusing
-the multi-scale outputs to a common 256-d feature pyramid.
+Faithful structural details that matter for weights: the window size LAGS
+one stage (the first block of each stage runs with the previous stage's
+window), q-pooling blocks window-partition first and max-pool queries
+inside each window, and the abs pos embed = bicubic background + tiled
+window embedding.
 
 TPU notes: window partition is a reshape (no data movement under XLA);
-attention is fused einsum; everything jits into one program per image
-batch.
+attention is fused einsum; the trunk jits as one program per image batch.
 """
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -31,15 +37,30 @@ class HieraConfig:
     num_heads: int = 2
     stages: Sequence[int] = (2, 6, 36, 4)
     global_att_blocks: Sequence[int] = (23, 33, 43)
-    window_spec: Sequence[int] = (8, 4, 14, 7)
+    window_spec: Sequence[int] = (8, 4, 16, 8)
+    pos_embed_bkg_size: Tuple[int, int] = (7, 7)
     patch_size: int = 7
     patch_stride: int = 4
+    patch_padding: int = 3
     mlp_ratio: float = 4.0
+    q_pool: int = 3                      # number of pooling stage shifts
     neck_dim: int = 256
+    fpn_top_down_levels: Sequence[int] = (2, 3)
+    scalp: int = 1
+
+    @property
+    def stage_ends(self):
+        s = self.stages
+        return [sum(s[:i]) - 1 for i in range(1, len(s) + 1)]
+
+    @property
+    def q_pool_blocks(self):
+        return [e + 1 for e in self.stage_ends[:-1]][:self.q_pool]
 
 
 def window_partition(x, ws):
-    """[B,H,W,C] -> [B*nW, ws, ws, C] with pad to multiples."""
+    """[B,H,W,C] -> ([B*nW, ws, ws, C], padded (Hp,Wp))
+    (backbones/utils.py window_partition)."""
     B, H, W, C = x.shape
     ph = (ws - H % ws) % ws
     pw = (ws - W % ws) % ws
@@ -60,6 +81,8 @@ def window_unpartition(x, ws, padded_hw, hw):
 
 
 class MultiScaleAttention(nn.Module):
+    """hieradet.py:37-79: fused qkv at dim_out, optional 2x2 max-pool on
+    the query grid (stage-shift downsample)."""
     dim_out: int
     num_heads: int
     q_pool: bool = False
@@ -72,9 +95,8 @@ class MultiScaleAttention(nn.Module):
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, -1)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.q_pool:
-            # q-pooling: 2x2 max over the query grid (hieradet do_pool)
-            q = q.reshape(B, H, W, self.num_heads, -1)
-            q = nn.max_pool(q.reshape(B, H, W, -1), (2, 2), (2, 2))
+            q = q.reshape(B, H, W, -1)
+            q = nn.max_pool(q, (2, 2), (2, 2))
             Hq, Wq = q.shape[1], q.shape[2]
             q = q.reshape(B, Hq * Wq, self.num_heads, -1)
         else:
@@ -90,7 +112,11 @@ class MultiScaleAttention(nn.Module):
         return nn.Dense(self.dim_out, name="proj")(o)
 
 
-class HieraBlock(nn.Module):
+class MultiScaleBlock(nn.Module):
+    """hieradet.py:82-164. ``window_size`` here is the pre-pool window (the
+    lagged previous-stage size); q-pool blocks attend inside those windows
+    and emerge at half resolution with window_size//2."""
+    dim_in: int
     dim_out: int
     num_heads: int
     window_size: int      # 0 = global attention
@@ -99,120 +125,164 @@ class HieraBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        B, H, W, C = x.shape
+        B, H, W, _ = x.shape
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        if self.q_pool:
-            shortcut = nn.max_pool(
-                nn.Dense(self.dim_out, name="proj")(x), (2, 2), (2, 2))
-        if self.window_size > 0 and not self.q_pool:
-            w, padded = window_partition(x, self.window_size)
-            w = MultiScaleAttention(self.dim_out, self.num_heads,
-                                    name="attn")(w)
-            x = window_unpartition(w, self.window_size, padded, (H, W))
+        if self.dim_in != self.dim_out:
+            shortcut = nn.Dense(self.dim_out, name="proj")(x)
+            if self.q_pool:
+                shortcut = nn.max_pool(shortcut, (2, 2), (2, 2))
+
+        ws = self.window_size
+        if ws > 0:
+            xw, pad_hw = window_partition(x, ws)
         else:
-            x = MultiScaleAttention(self.dim_out, self.num_heads,
-                                    q_pool=self.q_pool, name="attn")(x)
+            xw = x
+        xw = MultiScaleAttention(self.dim_out, self.num_heads,
+                                 q_pool=self.q_pool, name="attn")(xw)
+        if self.q_pool:
+            ws = ws // 2
+            H, W = shortcut.shape[1:3]
+            if ws > 0:
+                pad_hw = (-(-H // ws) * ws, -(-W // ws) * ws)
+        if self.window_size > 0:
+            x = window_unpartition(xw, ws, pad_hw, (H, W))
+        else:
+            x = xw
+
         x = shortcut + x
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim_out * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim_out, name="mlp_fc2")(h)
         return x + h
 
 
 class Hiera(nn.Module):
+    """hieradet.py:167-291. Returns per-stage feature maps, channels-last,
+    high-res first: [B, H/4, W/4, C], ..., [B, H/32, W/32, 8C]."""
     cfg: HieraConfig = HieraConfig()
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray):
-        """[B,3,H,W] -> list of 4 feature maps [B,H/4/2^s,W/4/2^s,C*2^s]."""
+    def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
+        """images [B,3,H,W] -> list of 4 stage outputs."""
         cfg = self.cfg
-        x = images.transpose(0, 2, 3, 1)
         p = cfg.patch_size
-        x = nn.Conv(cfg.embed_dim, (p, p), strides=(cfg.patch_stride,) * 2,
-                    padding=[(p // 2, p // 2)] * 2, name="patch_embed")(x)
-        # absolute positional embedding, interpolated to the grid
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 14, 14, cfg.embed_dim))
-        pos = jax.image.resize(pos, (1, x.shape[1], x.shape[2],
-                                     cfg.embed_dim), method='bilinear')
+        x = images.transpose(0, 2, 3, 1)
+        x = nn.Conv(cfg.embed_dim, (p, p),
+                    strides=(cfg.patch_stride,) * 2,
+                    padding=[(cfg.patch_padding,) * 2] * 2,
+                    name="patch_embed_proj")(x)
+
+        # windowed abs pos embed (hieradet.py:216-273): bicubic background
+        # + tiled window embedding. Stored channels-last.
+        bh, bw = cfg.pos_embed_bkg_size
+        w0 = cfg.window_spec[0]
+        pos_bkg = self.param("pos_embed", nn.initializers.zeros,
+                             (1, bh, bw, cfg.embed_dim))
+        pos_win = self.param("pos_embed_window", nn.initializers.zeros,
+                             (1, w0, w0, cfg.embed_dim))
+        H, W = x.shape[1], x.shape[2]
+        from ...ops.interp import resize_bicubic_torch
+        pos = resize_bicubic_torch(pos_bkg, (H, W))
+        pos = pos + jnp.tile(pos_win, (1, H // w0, W // w0, 1))
         x = x + pos
 
+        stage_ends = cfg.stage_ends
+        q_pool_blocks = cfg.q_pool_blocks
+        depth = sum(cfg.stages)
         outs = []
-        block_idx = 0
         dim = cfg.embed_dim
         heads = cfg.num_heads
-        for si, depth in enumerate(cfg.stages):
-            ws = cfg.window_spec[si]
-            for bi in range(depth):
-                q_pool = (si > 0 and bi == 0)
-                if q_pool:
-                    dim *= 2
-                    heads *= 2
-                gw = 0 if block_idx in cfg.global_att_blocks else ws
-                x = HieraBlock(dim, heads, gw, q_pool=q_pool,
-                               mlp_ratio=cfg.mlp_ratio,
-                               name=f"block_{block_idx}")(x)
-                block_idx += 1
-            outs.append(x)
+        cur_stage = 1
+        for i in range(depth):
+            dim_out = dim
+            # window size lags one stage (hieradet.py:232-245)
+            ws = cfg.window_spec[cur_stage - 1]
+            if i in cfg.global_att_blocks:
+                ws = 0
+            if i - 1 in stage_ends:
+                dim_out = dim * 2
+                heads = heads * 2
+                cur_stage += 1
+            x = MultiScaleBlock(dim, dim_out, heads, ws,
+                                q_pool=(i in q_pool_blocks),
+                                mlp_ratio=cfg.mlp_ratio,
+                                name=f"blocks_{i}")(x)
+            dim = dim_out
+            if i in stage_ends:
+                outs.append(x)
         return outs
 
 
+def sine_pos_embed(h: int, w: int, dim: int, temperature: float = 10000.0):
+    """PositionEmbeddingSine (position_encoding.py:16-112, normalize=True,
+    scale=2*pi): [h, w, dim] channels-last, channels = [y(dim/2), x(dim/2)]
+    with interleaved (sin, cos) pairs at shared frequencies."""
+    npf = dim // 2
+    eps = 1e-6
+    scale = 2.0 * math.pi
+    y = (jnp.arange(1, h + 1, dtype=jnp.float32) / (h + eps)) * scale
+    x = (jnp.arange(1, w + 1, dtype=jnp.float32) / (w + eps)) * scale
+    i = jnp.arange(npf, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(i / 2.0) / npf)
+
+    def enc(v):                              # [n] -> [n, npf]
+        a = v[:, None] / dim_t
+        even = jnp.sin(a[:, 0::2])
+        odd = jnp.cos(a[:, 1::2])
+        return jnp.stack([even, odd], axis=-1).reshape(v.shape[0], npf)
+
+    ye = jnp.broadcast_to(enc(y)[:, None, :], (h, w, npf))
+    xe = jnp.broadcast_to(enc(x)[None, :, :], (h, w, npf))
+    return jnp.concatenate([ye, xe], axis=-1)
+
+
 class FpnNeck(nn.Module):
-    """Top-down FPN fusing Hiera stages to ``dim`` channels at each scale
-    (sam2 modeling/backbone_utils FpnNeck)."""
-    dim: int = 256
+    """image_encoder.py:45-133: per-level 1x1 convs indexed in REVERSED
+    order (convs_0 takes the lowest-res trunk output), top-down nearest
+    upsampling only at ``top_down_levels``, sine pos encodings per level."""
+    d_model: int = 256
+    top_down_levels: Sequence[int] = (2, 3)
 
     @nn.compact
-    def __call__(self, feats):
-        lat = [nn.Conv(self.dim, (1, 1), name=f"lateral_{i}")(f)
-               for i, f in enumerate(feats)]
-        out = [None] * len(lat)
+    def __call__(self, xs: List[jnp.ndarray]):
+        n = len(xs) - 1
+        out = [None] * len(xs)
+        pos = [None] * len(xs)
         prev = None
-        for i in reversed(range(len(lat))):
-            x = lat[i]
-            if prev is not None:
-                B, H, W, C = x.shape
-                prev_up = jax.image.resize(prev, (B, H, W, C),
-                                           method='nearest')
-                x = x + prev_up
-            prev = x
-            out[i] = x
-        return out
-
-
-def sine_pos_embed(h: int, w: int, dim: int, temperature: float = 10000.0):
-    """2D sine/cosine position encoding [h, w, dim] (sam2
-    position_encoding.PositionEmbeddingSine)."""
-    d4 = dim // 4
-    omega = 1.0 / (temperature ** (jnp.arange(d4) / d4))
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * omega[None]
-    xs = jnp.arange(w, dtype=jnp.float32)[:, None] * omega[None]
-    ye = jnp.concatenate([jnp.sin(ys), jnp.cos(ys)], -1)   # [h, dim/2]
-    xe = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], -1)   # [w, dim/2]
-    ye = jnp.broadcast_to(ye[:, None, :], (h, w, dim // 2))
-    xe = jnp.broadcast_to(xe[None, :, :], (h, w, dim // 2))
-    return jnp.concatenate([ye, xe], -1)
+        for i in range(n, -1, -1):
+            lateral = nn.Conv(self.d_model, (1, 1),
+                              name=f"convs_{n - i}")(xs[i])
+            if i in self.top_down_levels and prev is not None:
+                B, H, W, C = lateral.shape
+                up = jax.image.resize(prev, (B, H, W, C), method="nearest")
+                prev = lateral + up
+            else:
+                prev = lateral
+            out[i] = prev
+            pos[i] = sine_pos_embed(prev.shape[1], prev.shape[2],
+                                    self.d_model)
+        return out, pos
 
 
 class ImageEncoder(nn.Module):
-    """Hiera + FPN -> dict of multiscale features + positional encodings
-    (the sam2 image_encoder contract: high-res feats for the decoder skip
-    connections, lowest-res for memory attention)."""
+    """Hiera trunk + FPN neck (image_encoder.py:14-42). scalp=1 discards
+    the stride-32 level; the remaining levels are [stride4, stride8,
+    stride16] with vision_features = the stride-16 map."""
     cfg: HieraConfig = HieraConfig()
 
     @nn.compact
     def __call__(self, images):
         feats = Hiera(self.cfg, name="trunk")(images)
-        fpn = FpnNeck(self.cfg.neck_dim, name="neck")(feats)
-        # the decoder/memory operate on the stride-16 level; /4 and /8 are
-        # high-res skip features (sam2 image_encoder contract)
-        main = fpn[2]
+        fpn, pos = FpnNeck(self.cfg.neck_dim,
+                           tuple(self.cfg.fpn_top_down_levels),
+                           name="neck")(feats)
+        if self.cfg.scalp > 0:
+            fpn = fpn[:-self.cfg.scalp]
+            pos = pos[:-self.cfg.scalp]
         return {
             "backbone_fpn": fpn,
-            "vision_feats": main,               # stride-16 [B,h,w,256]
-            "vision_pos": sine_pos_embed(main.shape[1], main.shape[2],
-                                         self.cfg.neck_dim),
-            "high_res_feats": fpn[:2],
+            "vision_pos_enc": pos,
+            "vision_features": fpn[-1],
         }

@@ -1,19 +1,27 @@
-"""SAM2 streaming memory: memory encoder + memory attention, in flax.
+"""SAM2 streaming memory: memory attention + memory encoder, in flax.
 
-Parity targets: auto-seg/sam2/modeling/memory_encoder.py:138 (downsample
-predicted masks, fuse with image features, light conv stack) and
-memory_attention.py:102 (transformer layers of self-attention over current
-frame tokens + RoPE cross-attention into the concatenated memory bank of
-spatial memories and object-pointer tokens). The fixed-size memory bank
-(num_maskmem=7 by default, sam2_base.py:23-191) is what bounds temporal
-context instead of long attention — TPU-friendly by construction: all
-memory shapes are static.
+Parity targets (1:1 weight-mappable via utils/convert.convert_sam2):
+  auto-seg/sam2/modeling/sam/transformer.py:289-360      RoPEAttention
+      (axial complex rotary enc over the (x, y) token grid; cross-attention
+      repeats the query freqs over the memory slots and excludes the
+      trailing object-pointer tokens from rotation)
+  auto-seg/sam2/modeling/position_encoding.py:167-221    compute_axial_cis
+  auto-seg/sam2/modeling/memory_attention.py:17-169      MemoryAttention
+      (4 pre-LN layers: RoPE self-attn, RoPE cross-attn into memory
+      [kv_in_dim=64], relu FFN 2048; +0.1*pos at input; final LN)
+  auto-seg/sam2/modeling/memory_encoder.py:17-181        MemoryEncoder
+      (4x stride-2 mask downsampler convs, pix-feat 1x1 proj, 2 ConvNeXt
+      fuser blocks, 1x1 out proj 256->64)
+
+The fixed-size memory bank (num_maskmem=7, sam2_base.py:128) bounds
+temporal context instead of long attention — all shapes static after the
+bank warms up, so the conditioning step compiles once per bank size.
 """
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -22,146 +30,184 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class MemoryConfig:
-    dim: int = 256          # image feature dim
-    mem_dim: int = 64       # memory channel dim
-    num_heads: int = 8
+    dim: int = 256          # image feature dim (d_model)
+    mem_dim: int = 64       # memory channel dim (kv_in_dim of cross attn)
+    num_heads: int = 1      # RoPEAttention heads (sam2_hiera_l.yaml)
     depth: int = 4          # memory attention layers
+    ffn_dim: int = 2048
+    rope_theta: float = 10000.0
     num_maskmem: int = 7    # spatial memories kept (1 cond + 6 recent)
     max_obj_ptrs: int = 16
 
 
-class MemoryEncoder(nn.Module):
-    """(image features, predicted mask) -> spatial memory features
-    (memory_encoder.py:138: mask downsampler + pix_feat projection +
-    conv fuser)."""
-    cfg: MemoryConfig = MemoryConfig()
+def axial_rope_cos_sin(dim: int, end_x: int, end_y: int, theta: float):
+    """compute_axial_cis (position_encoding.py:174-183) as (cos, sin)
+    [end_x*end_y, dim/2]: first dim/4 pairs rotate with x = idx % end_x,
+    the rest with y = idx // end_x."""
+    quarter = dim // 4
+    freqs = 1.0 / (theta ** (jnp.arange(0, dim, 4,
+                                        dtype=jnp.float32)[:quarter] / dim))
+    t = jnp.arange(end_x * end_y, dtype=jnp.float32)
+    tx = t % end_x
+    ty = jnp.floor(t / end_x)
+    ang = jnp.concatenate([tx[:, None] * freqs, ty[:, None] * freqs],
+                          axis=-1)                     # [N, dim/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x [..., N, hd]; (even, odd) channel pairs as (real, imag)
+    (position_encoding.py:194-221 view_as_complex convention)."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    xr = x1 * cos - x2 * sin
+    xi = x1 * sin + x2 * cos
+    return jnp.stack([xr, xi], axis=-1).reshape(x.shape)
+
+
+class RoPEAttention(nn.Module):
+    """sam/transformer.py:289-360. q tokens form an (end_x, end_y) grid;
+    with rope_k_repeat the grid freqs are tiled across the memory slots.
+    The last ``num_k_exclude_rope`` k tokens (object pointers) stay
+    unrotated."""
+    dim: int
+    num_heads: int
+    rope_theta: float = 10000.0
+    rope_k_repeat: bool = False
 
     @nn.compact
-    def __call__(self, pix_feat: jnp.ndarray, mask_logits: jnp.ndarray):
-        """pix_feat [B,H,W,C]; mask_logits [B,1,16H,16W] -> [B,H,W,mem]."""
-        cfg = self.cfg
-        m = jax.nn.sigmoid(mask_logits).transpose(0, 2, 3, 1)
-        # 16x mask downsampling (4 stride-2 convs)
-        ch = [4, 16, 32, 64]
-        for i, c in enumerate(ch):
-            m = nn.Conv(c, (3, 3), strides=(2, 2), padding='SAME',
-                        name=f"mask_down_{i}")(m)
-            m = nn.LayerNorm(name=f"mask_ln_{i}")(m)
-            m = nn.gelu(m)
-        m = nn.Conv(cfg.dim, (1, 1), name="mask_proj")(m)
-        x = nn.Conv(cfg.dim, (1, 1), name="pix_proj")(pix_feat) + m
-        # fuser: 2 conv blocks
-        for i in range(2):
-            h = nn.Conv(cfg.dim, (7, 7), padding='SAME',
-                        feature_group_count=cfg.dim, name=f"fuse_dw_{i}")(x)
-            h = nn.LayerNorm(name=f"fuse_ln_{i}")(h)
-            h = nn.Dense(4 * cfg.dim, name=f"fuse_fc1_{i}")(h)
-            h = nn.gelu(h)
-            h = nn.Dense(cfg.dim, name=f"fuse_fc2_{i}")(h)
-            x = x + h
-        return nn.Conv(cfg.mem_dim, (1, 1), name="out_proj")(x)
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0):
+        d = self.dim
+        H = self.num_heads
+        hd = d // H
+        qh = nn.Dense(d, name="q_proj")(q).reshape(*q.shape[:-1], H, hd)
+        kh = nn.Dense(d, name="k_proj")(k).reshape(*k.shape[:-1], H, hd)
+        vh = nn.Dense(d, name="v_proj")(v).reshape(*v.shape[:-1], H, hd)
+        qh = qh.swapaxes(-2, -3)                       # [B,H,N,hd]
+        kh = kh.swapaxes(-2, -3)
+        vh = vh.swapaxes(-2, -3)
+
+        n_q = qh.shape[-2]
+        side = int(round(math.sqrt(n_q)))
+        cos, sin = axial_rope_cos_sin(hd, side, side, self.rope_theta)
+        qh = apply_rotary(qh, cos, sin)
+        n_rot = kh.shape[-2] - num_k_exclude_rope
+        if self.rope_k_repeat and n_rot != n_q:
+            r = n_rot // n_q
+            cos = jnp.tile(cos, (r, 1))
+            sin = jnp.tile(sin, (r, 1))
+        if num_k_exclude_rope > 0:
+            k_rot = apply_rotary(kh[..., :n_rot, :], cos, sin)
+            kh = jnp.concatenate([k_rot, kh[..., n_rot:, :]], axis=-2)
+        else:
+            kh = apply_rotary(kh, cos, sin)
+
+        logits = jnp.einsum('...qd,...kd->...qk', qh, kh,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits / math.sqrt(hd), axis=-1)
+        o = jnp.einsum('...qk,...kd->...qd', p, vh,
+                       preferred_element_type=jnp.float32)
+        o = o.swapaxes(-2, -3).reshape(*q.shape[:-1], d)
+        return nn.Dense(self.dim, name="out_proj")(o)
 
 
 class MemoryAttentionLayer(nn.Module):
+    """memory_attention.py:17-99 with the sam2_hiera_l.yaml flags:
+    pos_enc_at_attn=False (RoPE carries positions in self-attn),
+    pos_enc_at_cross_attn_keys=True, queries=False; relu FFN."""
     cfg: MemoryConfig
 
     @nn.compact
-    def __call__(self, x, x_pe, mem, mem_pe):
-        """x [B,T,C] current-frame tokens; mem [B,M,mem_dim] memory bank."""
+    def __call__(self, tgt, memory, pos, query_pos,
+                 num_k_exclude_rope: int = 0):
         cfg = self.cfg
-        # self attention
-        q = nn.LayerNorm(name="norm1")(x)
-        sa = _attn(q + x_pe, q + x_pe, q, cfg.dim, cfg.num_heads, "self")
-        x = x + sa
-        # cross attention into memory
-        q = nn.LayerNorm(name="norm2")(x)
-        kv = mem + mem_pe
-        ca = _attn(q + x_pe, kv, mem, cfg.dim, cfg.num_heads, "cross",
-                   kv_dim=cfg.mem_dim)
-        x = x + ca
-        h = nn.LayerNorm(name="norm3")(x)
-        h = nn.Dense(4 * cfg.dim, name="mlp_fc1")(h)
-        h = nn.Dense(cfg.dim, name="mlp_fc2")(nn.relu(h))
-        return x + h
+        t2 = nn.LayerNorm(name="norm1")(tgt)
+        sa = RoPEAttention(cfg.dim, cfg.num_heads, cfg.rope_theta,
+                           name="self_attn")
+        tgt = tgt + sa(t2, t2, t2)
 
+        t2 = nn.LayerNorm(name="norm2")(tgt)
+        ca = RoPEAttention(cfg.dim, cfg.num_heads, cfg.rope_theta,
+                           rope_k_repeat=True, name="cross_attn_image")
+        tgt = tgt + ca(t2, memory + pos, memory,
+                       num_k_exclude_rope=num_k_exclude_rope)
 
-def _attn(q, k, v, dim, heads, name, kv_dim=None):
-    hd = dim // heads
-    qh = nn.Dense(dim, name=f"{name}_q")(q).reshape(*q.shape[:-1], heads, hd)
-    kh = nn.Dense(dim, name=f"{name}_k")(k).reshape(*k.shape[:-1], heads, hd)
-    vh = nn.Dense(dim, name=f"{name}_v")(v).reshape(*v.shape[:-1], heads, hd)
-    logits = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
-                        preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(logits / math.sqrt(hd), axis=-1)
-    o = jnp.einsum('bhqk,bkhd->bqhd', p, vh,
-                   preferred_element_type=jnp.float32)
-    return nn.Dense(dim, name=f"{name}_out")(o.reshape(*q.shape[:-1], dim))
+        t2 = nn.LayerNorm(name="norm3")(tgt)
+        h = nn.Dense(cfg.ffn_dim, name="linear1")(t2)
+        h = nn.Dense(cfg.dim, name="linear2")(nn.relu(h))
+        return tgt + h
 
 
 class MemoryAttention(nn.Module):
-    """Condition current-frame features on the memory bank
-    (memory_attention.py:102)."""
+    """memory_attention.py:102-169: +0.1*curr_pos at input, N layers,
+    final LayerNorm."""
     cfg: MemoryConfig = MemoryConfig()
 
     @nn.compact
-    def __call__(self, vision_feats, vision_pe, memory, memory_pe):
-        """vision_feats [B,H,W,C] -> conditioned [B,H,W,C]; memory
-        [B,M,mem_dim] (flattened spatial memories + object pointers)."""
+    def __call__(self, curr, memory, curr_pos, memory_pos,
+                 num_obj_ptr_tokens: int = 0):
+        """curr [B,T,C] current-frame tokens; memory [B,M,mem_dim]
+        (spatial memories + trailing object-pointer tokens)."""
+        x = curr + 0.1 * curr_pos
+        for i in range(self.cfg.depth):
+            x = MemoryAttentionLayer(self.cfg, name=f"layers_{i}")(
+                x, memory, memory_pos, curr_pos,
+                num_k_exclude_rope=num_obj_ptr_tokens)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class MaskDownSampler(nn.Module):
+    """memory_encoder.py:17-58 with the hiera_l config (k3 s2 p1, 4 layers
+    1->4->16->64->256 + LN2d + GELU, final 1x1 to embed_dim). Sequential
+    indices in the torch state_dict: convs at 0,3,6,9,12; LNs at 1,4,7,10."""
+    embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, m):
+        """m [B,1,16H,16W] (already sigmoided+scaled) -> [B,H,W,embed]."""
+        x = m.transpose(0, 2, 3, 1)
+        ch = 1
+        for i in range(4):
+            ch = ch * 4
+            x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)],
+                        name=f"encoder_{3 * i}")(x)
+            x = nn.LayerNorm(epsilon=1e-6, name=f"encoder_{3 * i + 1}")(x)
+            x = nn.gelu(x, approximate=False)
+        return nn.Conv(self.embed_dim, (1, 1), name="encoder_12")(x)
+
+
+class CXBlock(nn.Module):
+    """ConvNeXt block (memory_encoder.py:62-117): 7x7 depthwise conv,
+    LN (eps 1e-6), 1x1 expand 4x, GELU, 1x1 project, layer scale."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+                    feature_group_count=self.dim, name="dwconv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = nn.Dense(4 * self.dim, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="pwconv2")(h)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6),
+                           (self.dim,))
+        return x + gamma * h
+
+
+class MemoryEncoder(nn.Module):
+    """memory_encoder.py:138-181: fuse pixel features with the downsampled
+    mask, 2 CXBlocks, project 256->64."""
+    cfg: MemoryConfig = MemoryConfig()
+
+    @nn.compact
+    def __call__(self, pix_feat: jnp.ndarray, mask_for_mem: jnp.ndarray):
+        """pix_feat [B,H,W,C]; mask_for_mem [B,1,16H,16W] (sigmoid already
+        applied + scale/bias, sam2_base.py:684-698) -> [B,H,W,mem_dim]."""
         cfg = self.cfg
-        B, H, W, C = vision_feats.shape
-        x = vision_feats.reshape(B, H * W, C)
-        pe = vision_pe.reshape(1, H * W, C)
-        for i in range(cfg.depth):
-            x = MemoryAttentionLayer(cfg, name=f"layer_{i}")(
-                x, pe, memory, memory_pe)
-        x = nn.LayerNorm(name="norm_out")(x)
-        return x.reshape(B, H, W, C)
-
-
-class MemoryBank(NamedTuple):
-    """Fixed-capacity PER-OBJECT streaming memory (sam2_base.py num_maskmem
-    design: one spatial-memory ring per tracked object; static shapes so
-    the whole propagation loop jits)."""
-    feats: jnp.ndarray      # [B, SLOTS, H*W, mem_dim]
-    pos: jnp.ndarray        # [B, SLOTS, H*W, mem_dim]
-    valid: jnp.ndarray      # [B, SLOTS] bool
-    next_slot: jnp.ndarray  # [] int32 ring pointer over non-cond slots
-
-
-def init_bank(num_obj: int, slots: int, hw: int, mem_dim: int) -> MemoryBank:
-    return MemoryBank(
-        feats=jnp.zeros((num_obj, slots, hw, mem_dim)),
-        pos=jnp.zeros((num_obj, slots, hw, mem_dim)),
-        valid=jnp.zeros((num_obj, slots), bool),
-        next_slot=jnp.zeros((), jnp.int32))
-
-
-def bank_insert(bank: MemoryBank, feat: jnp.ndarray, pos: jnp.ndarray,
-                is_cond: bool) -> MemoryBank:
-    """Insert one frame's memory for every object. feat/pos [B, HW, D].
-    Conditioning frames pin slot 0; others rotate through the ring
-    (sam2_base keeps the prompted frame's memory permanently)."""
-    slots = bank.feats.shape[1]
-    if is_cond:
-        slot = jnp.zeros((), jnp.int32)
-        nxt = bank.next_slot
-    else:
-        slot = 1 + (bank.next_slot % (slots - 1))
-        nxt = bank.next_slot + 1
-    return MemoryBank(
-        feats=bank.feats.at[:, slot].set(feat),
-        pos=bank.pos.at[:, slot].set(pos),
-        valid=bank.valid.at[:, slot].set(True),
-        next_slot=nxt)
-
-
-def bank_as_memory(bank: MemoryBank):
-    """Flatten per-object banks for cross attention -> [B, S*HW, D];
-    invalid slots are masked by zeroing their keys (softmax still sees
-    them — acceptable for the zero-init embedding; exact masking would use
-    -inf biases)."""
-    B, S, HW, D = bank.feats.shape
-    v = bank.valid[:, :, None, None].astype(jnp.float32)
-    feats = (bank.feats * v).reshape(B, S * HW, D)
-    pos = (bank.pos * v).reshape(B, S * HW, D)
-    return feats, pos
+        m = MaskDownSampler(cfg.dim, name="mask_downsampler")(mask_for_mem)
+        x = nn.Conv(cfg.dim, (1, 1), name="pix_feat_proj")(pix_feat)
+        x = x + m
+        for i in range(2):
+            x = CXBlock(cfg.dim, name=f"fuser_layers_{i}")(x)
+        return nn.Conv(cfg.mem_dim, (1, 1), name="out_proj")(x)

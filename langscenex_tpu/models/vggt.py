@@ -233,14 +233,17 @@ class DinoViT(nn.Module):
 
     @staticmethod
     def _interp_pos(pos_embed, Hp, Wp, G, C):
-        """vision_transformer.py:183-215 (bicubic, antialias). Identity at
-        the pretraining grid."""
+        """vision_transformer.py:183-215: torch-convention bicubic
+        (VGGT passes interpolate_offset=0 so the target is an exact output
+        size; torch antialias only matters when downscaling below the 37x37
+        pretraining grid, which the pipeline never does). Identity at the
+        pretraining grid."""
         if (Hp, Wp) == (G, G):
             return pos_embed
+        from ..ops.interp import resize_bicubic_torch
         cls_pos = pos_embed[:, :1]
         patch_pos = pos_embed[:, 1:].reshape(1, G, G, C)
-        patch_pos = jax.image.resize(patch_pos, (1, Hp, Wp, C),
-                                     method="bicubic")
+        patch_pos = resize_bicubic_torch(patch_pos, (Hp, Wp))
         return jnp.concatenate(
             [cls_pos, patch_pos.reshape(1, Hp * Wp, C)], axis=1)
 

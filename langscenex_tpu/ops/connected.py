@@ -99,3 +99,48 @@ def mask_nms(masks: jnp.ndarray, scores: jnp.ndarray,
     keep_sorted = jax.lax.fori_loop(0, n, body, jnp.ones(n, bool))
     keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
     return keep
+
+
+def mask_nms_reference(masks: jnp.ndarray, scores: jnp.ndarray,
+                       iou_thr: float = 0.7, score_thr: float = 0.1,
+                       inner_thr: float = 0.2) -> jnp.ndarray:
+    """Faithful port of the reference's proposal NMS
+    (auto-seg/auto-mask-align.py mask_nms:50-129): sort by score, suppress
+    on (a) IoU with any higher-scored mask, (b) low score, (c) the
+    'inner IoU' criterion 1 - (I/area_i)*(I/area_j) gated on
+    (I/area_i < 0.5) & (I/area_j >= 0.85) in both triangular directions.
+    The chunked torch loops collapse to one MXU matmul here.
+
+    Returns keep [N] bool in the ORIGINAL mask order.
+    """
+    n = masks.shape[0]
+    order = jnp.argsort(-scores)
+    s = scores[order]
+    f = masks.reshape(n, -1).astype(jnp.float32)[order]
+    area = jnp.sum(f, -1)
+    inter = f @ f.T
+    union = area[:, None] + area[None, :] - inter
+    iou = inter / jnp.maximum(union, 1.0)
+    row_inter = inter / jnp.maximum(area[:, None], 1.0)
+    col_inter = inter / jnp.maximum(area[None, :], 1.0)
+    gate = (row_inter < 0.5) & (col_inter >= 0.85)
+    inner = jnp.where(gate, 1.0 - row_inter * col_inter, 0.0)
+
+    triu1 = jnp.triu(jnp.ones((n, n), bool), k=1)
+    tril1 = jnp.tril(jnp.ones((n, n), bool), k=1)
+    iou_max = jnp.max(jnp.where(triu1, iou, 0.0), axis=0)
+    inner_max_u = jnp.max(jnp.where(triu1, inner, 0.0), axis=0)
+    inner_max_l = jnp.max(jnp.where(tril1, inner, 0.0), axis=0)
+
+    keep = (iou_max <= iou_thr)
+    keep_conf = s > score_thr
+    keep_u = inner_max_u <= 1 - inner_thr
+    keep_l = inner_max_l <= 1 - inner_thr
+    # fallback (reference :115-123): never suppress everything on one
+    # criterion — keep the top-3 scored masks on that criterion instead
+    top3 = jnp.arange(n) < 3
+
+    def fb(k):
+        return jnp.where(jnp.any(k), k, top3)
+    keep = keep & fb(keep_conf) & fb(keep_u) & fb(keep_l)
+    return jnp.zeros(n, bool).at[order].set(keep)

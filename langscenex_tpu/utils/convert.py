@@ -348,6 +348,211 @@ def convert_vggt(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": p}
 
 
+def _sam2_attn_ds(sd: Dict, p: str) -> Dict:
+    """sam/transformer.py Attention/RoPEAttention: q/k/v/out projections."""
+    return {f"{n}_proj": t2f_linear(sd[f"{p}.{n}_proj.weight"],
+                                    sd[f"{p}.{n}_proj.bias"])
+            for n in ("q", "k", "v", "out")}
+
+
+def _sam2_hiera_block(sd: Dict, p: str) -> Dict:
+    blk = {
+        "norm1": t2f_layernorm(sd[f"{p}.norm1.weight"],
+                               sd[f"{p}.norm1.bias"]),
+        "norm2": t2f_layernorm(sd[f"{p}.norm2.weight"],
+                               sd[f"{p}.norm2.bias"]),
+        "attn": {"qkv": t2f_linear(sd[f"{p}.attn.qkv.weight"],
+                                   sd[f"{p}.attn.qkv.bias"]),
+                 "proj": t2f_linear(sd[f"{p}.attn.proj.weight"],
+                                    sd[f"{p}.attn.proj.bias"])},
+        "mlp_fc1": t2f_linear(sd[f"{p}.mlp.layers.0.weight"],
+                              sd[f"{p}.mlp.layers.0.bias"]),
+        "mlp_fc2": t2f_linear(sd[f"{p}.mlp.layers.1.weight"],
+                              sd[f"{p}.mlp.layers.1.bias"]),
+    }
+    if f"{p}.proj.weight" in sd:
+        blk["proj"] = t2f_linear(sd[f"{p}.proj.weight"],
+                                 sd[f"{p}.proj.bias"])
+    return blk
+
+
+def _sam2_mlp(sd: Dict, p: str, n: int) -> Dict:
+    return {f"layers_{i}": t2f_linear(sd[f"{p}.layers.{i}.weight"],
+                                      sd[f"{p}.layers.{i}.bias"])
+            for i in range(n)}
+
+
+def convert_sam2(sd: Dict[str, np.ndarray]) -> Dict:
+    """sam2_hiera_large.pt ``model`` state_dict -> flax params for
+    models/sam2.SAM2. Covers the full video-predictor graph: Hiera trunk +
+    FPN neck, prompt encoder, two-way mask decoder (incl. conv_s0/s1 and
+    object-score head), memory attention (RoPE), memory encoder (ConvNeXt
+    fuser), and the sam2_base glue params (no_mem_embed, maskmem_tpos_enc,
+    no_obj_ptr, obj_ptr_proj, mask_downsample).
+    Validated numerically against a random-init torch mirror in
+    tests/test_sam2.py::TestSAM2Conversion."""
+    # ---- image encoder
+    trunk = {
+        "patch_embed_proj": t2f_conv(
+            sd["image_encoder.trunk.patch_embed.proj.weight"],
+            sd["image_encoder.trunk.patch_embed.proj.bias"]),
+        "pos_embed": np.asarray(
+            sd["image_encoder.trunk.pos_embed"]).transpose(0, 2, 3, 1),
+        "pos_embed_window": np.asarray(
+            sd["image_encoder.trunk.pos_embed_window"]).transpose(0, 2, 3, 1),
+    }
+    n_blocks = _count(sd, "image_encoder.trunk.blocks.{}.norm1.weight")
+    for i in range(n_blocks):
+        trunk[f"blocks_{i}"] = _sam2_hiera_block(
+            sd, f"image_encoder.trunk.blocks.{i}")
+    n_convs = _count(sd, "image_encoder.neck.convs.{}.conv.weight")
+    neck = {f"convs_{j}": t2f_conv(
+        sd[f"image_encoder.neck.convs.{j}.conv.weight"],
+        sd[f"image_encoder.neck.convs.{j}.conv.bias"])
+        for j in range(n_convs)}
+
+    # ---- prompt encoder
+    pe = {"pe_gaussian": np.asarray(
+        sd["sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]),
+        "not_a_point_embed": np.asarray(
+            sd["sam_prompt_encoder.not_a_point_embed.weight"]),
+        "no_mask_embed": np.asarray(
+            sd["sam_prompt_encoder.no_mask_embed.weight"])}
+    for i in range(4):
+        pe[f"point_embeddings_{i}"] = np.asarray(
+            sd[f"sam_prompt_encoder.point_embeddings.{i}.weight"])
+    for j in (0, 3, 6):
+        pe[f"mask_downscaling_{j}"] = t2f_conv(
+            sd[f"sam_prompt_encoder.mask_downscaling.{j}.weight"],
+            sd[f"sam_prompt_encoder.mask_downscaling.{j}.bias"])
+    for j in (1, 4):
+        pe[f"mask_downscaling_{j}"] = t2f_layernorm(
+            sd[f"sam_prompt_encoder.mask_downscaling.{j}.weight"],
+            sd[f"sam_prompt_encoder.mask_downscaling.{j}.bias"])
+
+    # ---- mask decoder
+    md = {"obj_score_token": np.asarray(
+        sd["sam_mask_decoder.obj_score_token.weight"]),
+        "iou_token": np.asarray(sd["sam_mask_decoder.iou_token.weight"]),
+        "mask_tokens": np.asarray(sd["sam_mask_decoder.mask_tokens.weight"])}
+    tw = {}
+    n_tw = _count(sd, "sam_mask_decoder.transformer.layers.{}.norm1.weight")
+    for i in range(n_tw):
+        p = f"sam_mask_decoder.transformer.layers.{i}"
+        tw[f"layers_{i}"] = {
+            "self_attn": _sam2_attn_ds(sd, f"{p}.self_attn"),
+            "cross_attn_token_to_image": _sam2_attn_ds(
+                sd, f"{p}.cross_attn_token_to_image"),
+            "cross_attn_image_to_token": _sam2_attn_ds(
+                sd, f"{p}.cross_attn_image_to_token"),
+            "mlp_layers_0": t2f_linear(sd[f"{p}.mlp.layers.0.weight"],
+                                       sd[f"{p}.mlp.layers.0.bias"]),
+            "mlp_layers_1": t2f_linear(sd[f"{p}.mlp.layers.1.weight"],
+                                       sd[f"{p}.mlp.layers.1.bias"]),
+            **{f"norm{k}": t2f_layernorm(sd[f"{p}.norm{k}.weight"],
+                                         sd[f"{p}.norm{k}.bias"])
+               for k in (1, 2, 3, 4)},
+        }
+    tw["final_attn_token_to_image"] = _sam2_attn_ds(
+        sd, "sam_mask_decoder.transformer.final_attn_token_to_image")
+    tw["norm_final_attn"] = t2f_layernorm(
+        sd["sam_mask_decoder.transformer.norm_final_attn.weight"],
+        sd["sam_mask_decoder.transformer.norm_final_attn.bias"])
+    md["transformer"] = tw
+    for j in (0, 3):
+        md[f"output_upscaling_{j}"] = {
+            "weight": np.asarray(
+                sd[f"sam_mask_decoder.output_upscaling.{j}.weight"]),
+            "bias": np.asarray(
+                sd[f"sam_mask_decoder.output_upscaling.{j}.bias"])}
+    md["output_upscaling_1"] = t2f_layernorm(
+        sd["sam_mask_decoder.output_upscaling.1.weight"],
+        sd["sam_mask_decoder.output_upscaling.1.bias"])
+    n_hyper = _count(
+        sd, "sam_mask_decoder.output_hypernetworks_mlps.{}.layers.0.weight")
+    for i in range(n_hyper):
+        md[f"output_hypernetworks_mlps_{i}"] = _sam2_mlp(
+            sd, f"sam_mask_decoder.output_hypernetworks_mlps.{i}", 3)
+    md["iou_prediction_head"] = _sam2_mlp(
+        sd, "sam_mask_decoder.iou_prediction_head", 3)
+    md["pred_obj_score_head"] = _sam2_mlp(
+        sd, "sam_mask_decoder.pred_obj_score_head", 3)
+
+    # ---- memory attention
+    ma = {"norm": t2f_layernorm(sd["memory_attention.norm.weight"],
+                                sd["memory_attention.norm.bias"])}
+    n_ma = _count(sd, "memory_attention.layers.{}.norm1.weight")
+    for i in range(n_ma):
+        p = f"memory_attention.layers.{i}"
+        ma[f"layers_{i}"] = {
+            "self_attn": _sam2_attn_ds(sd, f"{p}.self_attn"),
+            "cross_attn_image": _sam2_attn_ds(sd, f"{p}.cross_attn_image"),
+            "linear1": t2f_linear(sd[f"{p}.linear1.weight"],
+                                  sd[f"{p}.linear1.bias"]),
+            "linear2": t2f_linear(sd[f"{p}.linear2.weight"],
+                                  sd[f"{p}.linear2.bias"]),
+            **{f"norm{k}": t2f_layernorm(sd[f"{p}.norm{k}.weight"],
+                                         sd[f"{p}.norm{k}.bias"])
+               for k in (1, 2, 3)},
+        }
+
+    # ---- memory encoder
+    mds = {}
+    for i in range(4):
+        mds[f"encoder_{3 * i}"] = t2f_conv(
+            sd[f"memory_encoder.mask_downsampler.encoder.{3 * i}.weight"],
+            sd[f"memory_encoder.mask_downsampler.encoder.{3 * i}.bias"])
+        mds[f"encoder_{3 * i + 1}"] = t2f_layernorm(
+            sd[f"memory_encoder.mask_downsampler.encoder.{3 * i + 1}.weight"],
+            sd[f"memory_encoder.mask_downsampler.encoder.{3 * i + 1}.bias"])
+    mds["encoder_12"] = t2f_conv(
+        sd["memory_encoder.mask_downsampler.encoder.12.weight"],
+        sd["memory_encoder.mask_downsampler.encoder.12.bias"])
+    me = {"mask_downsampler": mds,
+          "pix_feat_proj": t2f_conv(
+              sd["memory_encoder.pix_feat_proj.weight"],
+              sd["memory_encoder.pix_feat_proj.bias"]),
+          "out_proj": t2f_conv(sd["memory_encoder.out_proj.weight"],
+                               sd["memory_encoder.out_proj.bias"])}
+    n_fuse = _count(sd, "memory_encoder.fuser.layers.{}.dwconv.weight")
+    for i in range(n_fuse):
+        p = f"memory_encoder.fuser.layers.{i}"
+        me[f"fuser_layers_{i}"] = {
+            "dwconv": t2f_conv(sd[f"{p}.dwconv.weight"],
+                               sd[f"{p}.dwconv.bias"]),
+            "norm": t2f_layernorm(sd[f"{p}.norm.weight"],
+                                  sd[f"{p}.norm.bias"]),
+            "pwconv1": t2f_linear(sd[f"{p}.pwconv1.weight"],
+                                  sd[f"{p}.pwconv1.bias"]),
+            "pwconv2": t2f_linear(sd[f"{p}.pwconv2.weight"],
+                                  sd[f"{p}.pwconv2.bias"]),
+            "gamma": np.asarray(sd[f"{p}.gamma"]),
+        }
+
+    p = {
+        "image_encoder": {"trunk": trunk, "neck": neck},
+        "sam_prompt_encoder": pe,
+        "sam_mask_decoder": md,
+        "memory_attention": ma,
+        "memory_encoder": me,
+        "conv_s0": t2f_conv(sd["sam_mask_decoder.conv_s0.weight"],
+                            sd["sam_mask_decoder.conv_s0.bias"]),
+        "conv_s1": t2f_conv(sd["sam_mask_decoder.conv_s1.weight"],
+                            sd["sam_mask_decoder.conv_s1.bias"]),
+        "no_mem_embed": np.asarray(sd["no_mem_embed"]),
+        "no_mem_pos_enc": np.asarray(sd["no_mem_pos_enc"]),
+        "maskmem_tpos_enc": np.asarray(sd["maskmem_tpos_enc"]),
+        "no_obj_ptr": np.asarray(sd["no_obj_ptr"]),
+        "mask_downsample": t2f_conv(sd["mask_downsample.weight"],
+                                    sd["mask_downsample.bias"]),
+    }
+    for i in range(3):
+        p[f"obj_ptr_proj_{i}"] = t2f_linear(
+            sd[f"obj_ptr_proj.layers.{i}.weight"],
+            sd[f"obj_ptr_proj.layers.{i}.bias"])
+    return {"params": p}
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")
