@@ -1,23 +1,29 @@
 """CogVideoX 3D causal VAE in flax (encoder + decoder).
 
-Parity target: the AutoencoderKLCogVideoX the reference loads
+Parity target: the diffusers AutoencoderKLCogVideoX the reference loads
 (cogvideox_interpolation/pipeline.py:9-13,135-140): 8x spatial / 4x
-temporal compression, 16 latent channels, causal 3D convolutions (pad only
-on the past side of time so frame t never sees t+1), GroupNorm(32)+SiLU
-ResNet blocks, channel ladder [128, 256, 256, 512], temporal downsampling
-on the last two encoder stages (and mirrored upsampling in the decoder),
-mid blocks with no attention (CogVideoX VAE is attention-free).
+temporal compression, 16 latent channels, causal 3D convolutions (the
+first frame is replicate-padded into the past so frame t never sees t+1),
+GroupNorm(32)+SiLU ResNet blocks, channel ladder [128, 256, 256, 512]
+(layers_per_block=3 encoder / 4 decoder), attention-free mid blocks, and
+— crucially for weights — the DECODER conditions every norm on the latent
+z through CogVideoXSpatialNorm3D (GroupNorm * conv_y(z) + conv_b(z)).
+Temporal down/upsampling happens at the first two blocks with the odd
+frame-count convention (4k+1 frames): the first frame is held out, the
+rest average-pool / nearest-upsample in pairs.
 
-TPU notes: convs run as lax.conv_general_dilated in NDHWC layout (channels
-last -> lanes); the causal temporal pad is an explicit concat so the conv
-itself stays VALID in time and XLA fuses the pad. Tiled decode (the
-reference's enable_tiling, video_inference.py:29-30) is spatial_tile_decode
-below.
+1:1 weight-mappable via utils/convert.convert_cogvideox_vae (validated in
+tests/test_vae.py against a torch mirror of the diffusers layout).
+
+TPU notes: convs run in NTHWC layout (channels last -> lanes); the causal
+temporal pad is an explicit concat so the conv stays VALID in time and XLA
+fuses the pad. Tiled decode (the reference's enable_tiling,
+video_inference.py:29-30) is spatial_tile_decode below.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,17 +33,23 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
     in_channels: int = 3
+    out_channels: int = 3
     latent_channels: int = 16
     block_out_channels: Sequence[int] = (128, 256, 256, 512)
     layers_per_block: int = 3
-    temporal_compression: int = 4     # 2 temporal downsamples
+    temporal_compression: int = 4     # 2 temporal stages (log2)
     norm_groups: int = 32
-    scaling_factor: float = 0.7
+    scaling_factor: float = 1.15258426
+
+    @property
+    def temporal_levels(self) -> int:
+        return {4: 2, 2: 1, 1: 0}[self.temporal_compression]
 
 
 class CausalConv3d(nn.Module):
-    """3D conv with causal temporal padding (past-only) and SAME spatial
-    padding. Input NTHWC."""
+    """CogVideoXCausalConv3d: replicate the first frame (kt-1)x into the
+    past, zero-pad space, VALID temporal conv. Input NTHWC. Param path
+    <name>/conv mirrors the torch ``.conv`` wrapper."""
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
@@ -45,84 +57,160 @@ class CausalConv3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         kt, kh, kw = self.kernel
-        # causal: replicate-pad the first frame backwards in time
-        # (CogVideoXCausalConv3d uses replicate padding of 2*(kt//2))
         if kt > 1:
-            tpad = 2 * (kt // 2) // 1
             first = jnp.repeat(x[:, :1], kt - 1, axis=1)
             x = jnp.concatenate([first, x], axis=1)
         pad = [(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
         return nn.Conv(self.features, self.kernel, strides=self.stride,
-                       padding=[(0, 0)] + pad[1:] if kt > 1 else pad,
-                       name="conv")(x)
+                       padding=pad, name="conv")(x)
+
+
+def _nearest_resize_time(z, t_out):
+    """Nearest temporal resize [B,T,H,W,C] -> [B,t_out,H,W,C] (torch
+    F.interpolate 5D nearest over the time axis)."""
+    T = z.shape[1]
+    idx = (jnp.arange(t_out) * T) // t_out
+    return z[:, idx]
+
+
+def _nearest_resize_hw(z, hw):
+    H, W = hw
+    h_in, w_in = z.shape[2], z.shape[3]
+    yi = (jnp.arange(H) * h_in) // H
+    xi = (jnp.arange(W) * w_in) // W
+    return z[:, :, yi][:, :, :, xi]
+
+
+class SpatialNorm3D(nn.Module):
+    """CogVideoXSpatialNorm3D: GroupNorm(f) * conv_y(zq) + conv_b(zq),
+    where zq is the latent nearest-resized to f's (T,H,W) with the
+    odd-frame first/rest split."""
+    features: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, f, zq):
+        Tf = f.shape[1]
+        if Tf > 1 and Tf % 2 == 1:
+            z_first = _nearest_resize_hw(
+                _nearest_resize_time(zq[:, :1], 1), f.shape[2:4])
+            z_rest = _nearest_resize_hw(
+                _nearest_resize_time(zq[:, 1:], Tf - 1), f.shape[2:4])
+            zq = jnp.concatenate([z_first, z_rest], axis=1)
+        else:
+            zq = _nearest_resize_hw(_nearest_resize_time(zq, Tf),
+                                    f.shape[2:4])
+        normed = nn.GroupNorm(num_groups=min(self.groups, self.features),
+                              epsilon=1e-6, name="norm_layer")(f)
+        y = CausalConv3d(self.features, (1, 1, 1), name="conv_y")(zq)
+        b = CausalConv3d(self.features, (1, 1, 1), name="conv_b")(zq)
+        return normed * y + b
 
 
 class ResBlock3d(nn.Module):
+    """CogVideoXResnetBlock3D. With ``spatial_norm`` the norms become
+    z-conditioned SpatialNorm3D (decoder); otherwise plain GroupNorm."""
     features: int
     groups: int = 32
+    spatial_norm: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
-                         epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+    def __call__(self, x, zq=None):
+        def norm(name, h):
+            if self.spatial_norm:
+                return SpatialNorm3D(h.shape[-1], self.groups, name=name)(
+                    h, zq)
+            return nn.GroupNorm(num_groups=min(self.groups, h.shape[-1]),
+                                epsilon=1e-6, name=name)(h)
+
+        h = nn.silu(norm("norm1", x))
         h = CausalConv3d(self.features, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=min(self.groups, self.features),
-                         epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = nn.silu(norm("norm2", h))
         h = CausalConv3d(self.features, name="conv2")(h)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1, 1), name="skip")(x)
+            # CogVideoXSafeConv3d 1x1x1 (plain conv, no .conv wrapper)
+            x = nn.Conv(self.features, (1, 1, 1), name="conv_shortcut")(x)
         return x + h
 
 
+def _avg_pool_time(x):
+    """CogVideoXDownsample3D temporal part: odd T keeps frame 0 and
+    avg-pools the rest in pairs; even T avg-pools everything."""
+    B, T, H, W, C = x.shape
+    if T % 2 == 1:
+        first = x[:, :1]
+        rest = x[:, 1:]
+        if rest.shape[1] > 0:
+            rest = rest.reshape(B, (T - 1) // 2, 2, H, W, C).mean(axis=2)
+        return jnp.concatenate([first, rest], axis=1)
+    return x.reshape(B, T // 2, 2, H, W, C).mean(axis=2)
+
+
 class Downsample3d(nn.Module):
+    """CogVideoXDownsample3D: optional temporal avg-pool, then per-frame
+    Conv2d stride 2 with (right, bottom) zero pad."""
     features: int
-    temporal: bool
+    compress_time: bool
 
     @nn.compact
     def __call__(self, x):
-        # spatial stride-2 (pad right/bottom like diffusers downsample2D)
+        if self.compress_time:
+            x = _avg_pool_time(x)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
-        x = nn.Conv(self.features, (1, 3, 3), strides=(1, 2, 2),
-                    padding='VALID', name="conv")(x)
-        if self.temporal:
-            # causal temporal stride-2: keep frame 0, then every 2nd
-            x = x[:, ::2]
-        return x
+        return nn.Conv(self.features, (1, 3, 3), strides=(1, 2, 2),
+                       padding='VALID', name="conv")(x)
 
 
 class Upsample3d(nn.Module):
+    """CogVideoXUpsample3D: nearest 2x upsampling — odd T holds the first
+    frame out of the temporal doubling — then per-frame Conv2d 3x3."""
     features: int
-    temporal: bool
+    compress_time: bool
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
-        x = jax.image.resize(x, (B, T, H * 2, W * 2, C), method='nearest')
-        if self.temporal:
-            x = jnp.repeat(x, 2, axis=1)
+        if self.compress_time:
+            if T > 1 and T % 2 == 1:
+                first = jax.image.resize(
+                    x[:, :1], (B, 1, H * 2, W * 2, C), method='nearest')
+                rest = jax.image.resize(
+                    x[:, 1:], (B, (T - 1) * 2, H * 2, W * 2, C),
+                    method='nearest')
+                x = jnp.concatenate([first, rest], axis=1)
+            elif T > 1:
+                x = jax.image.resize(x, (B, T * 2, H * 2, W * 2, C),
+                                     method='nearest')
+            else:
+                x = jax.image.resize(x, (B, 1, H * 2, W * 2, C),
+                                     method='nearest')
+        else:
+            x = jax.image.resize(x, (B, T, H * 2, W * 2, C),
+                                 method='nearest')
         return nn.Conv(self.features, (1, 3, 3), padding='SAME',
                        name="conv")(x)
 
 
 class Encoder(nn.Module):
+    """CogVideoXEncoder3D: down_blocks (resnets + downsampler; time
+    compression at the first ``temporal_levels`` blocks), 2-resnet mid
+    block, GroupNorm + SiLU + conv_out to 2*latent moments."""
     cfg: VAEConfig
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         chs = cfg.block_out_channels
-        n_temporal = {4: 2, 2: 1, 1: 0}[cfg.temporal_compression]
         h = CausalConv3d(chs[0], name="conv_in")(x)
         for i, ch in enumerate(chs):
             for j in range(cfg.layers_per_block):
-                h = ResBlock3d(ch, cfg.norm_groups, name=f"down_{i}_res_{j}")(h)
+                h = ResBlock3d(ch, cfg.norm_groups,
+                               name=f"down_blocks_{i}_resnets_{j}")(h)
             if i < len(chs) - 1:
-                temporal = i >= len(chs) - 1 - n_temporal
-                h = Downsample3d(chs[i + 1], temporal, name=f"down_{i}_ds")(h)
-        h = ResBlock3d(chs[-1], cfg.norm_groups, name="mid_res_0")(h)
-        h = ResBlock3d(chs[-1], cfg.norm_groups, name="mid_res_1")(h)
+                h = Downsample3d(ch, i < cfg.temporal_levels,
+                                 name=f"down_blocks_{i}_downsamplers_0")(h)
+        h = ResBlock3d(chs[-1], cfg.norm_groups, name="mid_resnets_0")(h)
+        h = ResBlock3d(chs[-1], cfg.norm_groups, name="mid_resnets_1")(h)
         h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
                          name="norm_out")(h)
         h = nn.silu(h)
@@ -130,31 +218,37 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """CogVideoXDecoder3D: conv_in, spatial-norm mid block, up_blocks
+    (layers_per_block+1 resnets + upsampler; time expansion at the first
+    ``temporal_levels`` blocks), SpatialNorm + SiLU + conv_out. Every norm
+    is conditioned on the input latent z."""
     cfg: VAEConfig
 
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
         chs = list(reversed(cfg.block_out_channels))
-        n_temporal = {4: 2, 2: 1, 1: 0}[cfg.temporal_compression]
         h = CausalConv3d(chs[0], name="conv_in")(z)
-        h = ResBlock3d(chs[0], cfg.norm_groups, name="mid_res_0")(h)
-        h = ResBlock3d(chs[0], cfg.norm_groups, name="mid_res_1")(h)
+        h = ResBlock3d(chs[0], cfg.norm_groups, spatial_norm=True,
+                       name="mid_resnets_0")(h, z)
+        h = ResBlock3d(chs[0], cfg.norm_groups, spatial_norm=True,
+                       name="mid_resnets_1")(h, z)
         for i, ch in enumerate(chs):
             for j in range(cfg.layers_per_block + 1):
-                h = ResBlock3d(ch, cfg.norm_groups, name=f"up_{i}_res_{j}")(h)
+                h = ResBlock3d(ch, cfg.norm_groups, spatial_norm=True,
+                               name=f"up_blocks_{i}_resnets_{j}")(h, z)
             if i < len(chs) - 1:
-                temporal = i < n_temporal
-                h = Upsample3d(chs[i + 1], temporal, name=f"up_{i}_us")(h)
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
-                         name="norm_out")(h)
+                h = Upsample3d(ch, i < cfg.temporal_levels,
+                               name=f"up_blocks_{i}_upsamplers_0")(h)
+        h = SpatialNorm3D(chs[-1], cfg.norm_groups, name="norm_out")(h, z)
         h = nn.silu(h)
-        return CausalConv3d(cfg.in_channels, name="conv_out")(h)
+        return CausalConv3d(cfg.out_channels, name="conv_out")(h)
 
 
 class AutoencoderKL3D(nn.Module):
     """Full VAE. Inputs/outputs use the pipeline's [B, T, C, H, W] layout;
-    internally NTHWC."""
+    internally NTHWC. No quant convs (use_quant_conv=False in the
+    CogVideoX config)."""
     cfg: VAEConfig = VAEConfig()
 
     def setup(self):

@@ -553,6 +553,95 @@ def convert_sam2(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": p}
 
 
+def t2f_conv2d_as_3d(w: np.ndarray, b=None) -> Dict[str, np.ndarray]:
+    """torch Conv2d [O,I,kh,kw] -> flax 3D kernel [1,kh,kw,I,O] (per-frame
+    conv expressed as a kt=1 3D conv)."""
+    k = np.asarray(w).transpose(2, 3, 1, 0)[None]
+    out = {"kernel": k}
+    if b is not None:
+        out["bias"] = np.asarray(b)
+    return out
+
+
+def _cvx_groupnorm(sd: Dict, p: str) -> Dict:
+    return t2f_layernorm(sd[f"{p}.weight"], sd[f"{p}.bias"])
+
+
+def _cvx_causal(sd: Dict, p: str) -> Dict:
+    return {"conv": t2f_conv(sd[f"{p}.conv.weight"], sd[f"{p}.conv.bias"])}
+
+
+def _cvx_spatial_norm(sd: Dict, p: str) -> Dict:
+    return {"norm_layer": _cvx_groupnorm(sd, f"{p}.norm_layer"),
+            "conv_y": _cvx_causal(sd, f"{p}.conv_y"),
+            "conv_b": _cvx_causal(sd, f"{p}.conv_b")}
+
+
+def _cvx_resnet(sd: Dict, p: str, spatial: bool) -> Dict:
+    r = {"conv1": _cvx_causal(sd, f"{p}.conv1"),
+         "conv2": _cvx_causal(sd, f"{p}.conv2")}
+    for n in ("norm1", "norm2"):
+        r[n] = _cvx_spatial_norm(sd, f"{p}.{n}") if spatial \
+            else _cvx_groupnorm(sd, f"{p}.{n}")
+    if f"{p}.conv_shortcut.weight" in sd:
+        r["conv_shortcut"] = t2f_conv(sd[f"{p}.conv_shortcut.weight"],
+                                      sd[f"{p}.conv_shortcut.bias"])
+    return r
+
+
+def convert_cogvideox_vae(sd: Dict[str, np.ndarray]) -> Dict:
+    """diffusers AutoencoderKLCogVideoX state_dict (the class the
+    reference instantiates at cogvideox_interpolation/pipeline.py:135-140;
+    layout of diffusers 0.30+: encoder/decoder.{conv_in, down/up_blocks.N.
+    {resnets,downsamplers/upsamplers}, mid_block.resnets, norm_out,
+    conv_out}, decoder norms = CogVideoXSpatialNorm3D, no quant convs)
+    -> flax params for models/cogvideox/vae.AutoencoderKL3D.
+    Validated numerically against a random-init torch mirror in
+    tests/test_vae.py::TestVAEConversion."""
+    enc = {"conv_in": _cvx_causal(sd, "encoder.conv_in"),
+           "conv_out": _cvx_causal(sd, "encoder.conv_out"),
+           "norm_out": _cvx_groupnorm(sd, "encoder.norm_out")}
+    n_blocks = _count(
+        sd, "encoder.down_blocks.{}.resnets.0.conv1.conv.weight")
+    for i in range(n_blocks):
+        j = 0
+        while f"encoder.down_blocks.{i}.resnets.{j}.conv1.conv.weight" in sd:
+            enc[f"down_blocks_{i}_resnets_{j}"] = _cvx_resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}", False)
+            j += 1
+        dkey = f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"
+        if dkey in sd:
+            enc[f"down_blocks_{i}_downsamplers_0"] = {
+                "conv": t2f_conv2d_as_3d(
+                    sd[dkey],
+                    sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"])}
+    for j in (0, 1):
+        enc[f"mid_resnets_{j}"] = _cvx_resnet(
+            sd, f"encoder.mid_block.resnets.{j}", False)
+
+    dec = {"conv_in": _cvx_causal(sd, "decoder.conv_in"),
+           "conv_out": _cvx_causal(sd, "decoder.conv_out"),
+           "norm_out": _cvx_spatial_norm(sd, "decoder.norm_out")}
+    n_up = _count(sd, "decoder.up_blocks.{}.resnets.0.conv1.conv.weight")
+    for i in range(n_up):
+        j = 0
+        while f"decoder.up_blocks.{i}.resnets.{j}.conv1.conv.weight" in sd:
+            dec[f"up_blocks_{i}_resnets_{j}"] = _cvx_resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}", True)
+            j += 1
+        ukey = f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"
+        if ukey in sd:
+            dec[f"up_blocks_{i}_upsamplers_0"] = {
+                "conv": t2f_conv2d_as_3d(
+                    sd[ukey],
+                    sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"])}
+    for j in (0, 1):
+        dec[f"mid_resnets_{j}"] = _cvx_resnet(
+            sd, f"decoder.mid_block.resnets.{j}", True)
+
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")

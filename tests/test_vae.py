@@ -69,3 +69,58 @@ class TestVAE:
         assert np.all(np.isfinite(t))
         corr = np.corrcoef(f.ravel(), t.ravel())[0, 1]
         assert corr > 0.5, f"tiled decode decorrelated: {corr}"
+
+
+class TestVAEConversion:
+    """convert_cogvideox_vae cross-validated numerically against a torch
+    mirror with the diffusers AutoencoderKLCogVideoX state_dict layout."""
+
+    MIRROR = {"in_ch": 3, "out_ch": 3, "latent": 4,
+              "block_out": (8, 16, 16, 32), "layers": 1, "groups": 4,
+              "t_levels": 2}
+
+    def _pair(self, seed=0):
+        torch = pytest.importorskip("torch")
+        from torch_cvx_vae_mirror import VAEMirror
+        from langscenex_tpu.utils.convert import convert_cogvideox_vae
+        torch.manual_seed(seed)
+        mirror = VAEMirror(self.MIRROR).eval()
+        sd = {k: v.numpy() for k, v in mirror.state_dict().items()}
+        variables = jax.tree_util.tree_map(jnp.asarray,
+                                           convert_cogvideox_vae(sd))
+        return mirror, variables
+
+    def test_tree_matches_init(self):
+        pytest.importorskip("torch")
+        _, converted = self._pair()
+        model = AutoencoderKL3D(TINY)
+        init = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 5, 3, 32, 32)))
+        flat_c = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                  jax.tree_util.tree_leaves_with_path(converted)}
+        flat_i = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                  jax.tree_util.tree_leaves_with_path(init)}
+        assert flat_c == flat_i, (
+            f"missing={sorted(set(flat_i) - set(flat_c))[:6]} "
+            f"extra={sorted(set(flat_c) - set(flat_i))[:6]}")
+
+    def test_encode_decode_match_torch(self):
+        torch = pytest.importorskip("torch")
+        mirror, variables = self._pair(seed=1)
+        model = AutoencoderKL3D(TINY)
+        rng = np.random.default_rng(2)
+        video = rng.uniform(-1, 1, (1, 5, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            t_mean, t_logvar = mirror.encode(torch.tensor(video))
+            t_dec = mirror.decode(t_mean)
+        f_mean, f_logvar = model.apply(variables, jnp.asarray(video),
+                                       method=AutoencoderKL3D.encode)
+        np.testing.assert_allclose(np.asarray(f_mean), t_mean.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(f_logvar), t_logvar.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        f_dec = model.apply(variables, f_mean,
+                            method=AutoencoderKL3D.decode)
+        assert f_dec.shape == tuple(t_dec.shape)
+        np.testing.assert_allclose(np.asarray(f_dec), t_dec.numpy(),
+                                   atol=5e-4, rtol=1e-3)
