@@ -553,6 +553,101 @@ def convert_sam2(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": p}
 
 
+def convert_sam1(sd: Dict[str, np.ndarray]) -> Dict:
+    """sam_vit_h_4b8939.pth state_dict (segment-anything-1 layout:
+    image_encoder ViTDet backbone with decomposed rel-pos, prompt_encoder,
+    mask_decoder) -> flax params for models/sam1.SAM1.
+    Validated numerically against a random-init torch mirror in
+    tests/test_sam1.py."""
+    enc = {"patch_embed_proj": t2f_conv(
+        sd["image_encoder.patch_embed.proj.weight"],
+        sd["image_encoder.patch_embed.proj.bias"]),
+        "pos_embed": np.asarray(sd["image_encoder.pos_embed"])}
+    n_blocks = _count(sd, "image_encoder.blocks.{}.norm1.weight")
+    for i in range(n_blocks):
+        p = f"image_encoder.blocks.{i}"
+        enc[f"blocks_{i}"] = {
+            "norm1": t2f_layernorm(sd[f"{p}.norm1.weight"],
+                                   sd[f"{p}.norm1.bias"]),
+            "norm2": t2f_layernorm(sd[f"{p}.norm2.weight"],
+                                   sd[f"{p}.norm2.bias"]),
+            "attn": {
+                "qkv": t2f_linear(sd[f"{p}.attn.qkv.weight"],
+                                  sd[f"{p}.attn.qkv.bias"]),
+                "proj": t2f_linear(sd[f"{p}.attn.proj.weight"],
+                                   sd[f"{p}.attn.proj.bias"]),
+                "rel_pos_h": np.asarray(sd[f"{p}.attn.rel_pos_h"]),
+                "rel_pos_w": np.asarray(sd[f"{p}.attn.rel_pos_w"]),
+            },
+            "mlp_lin1": t2f_linear(sd[f"{p}.mlp.lin1.weight"],
+                                   sd[f"{p}.mlp.lin1.bias"]),
+            "mlp_lin2": t2f_linear(sd[f"{p}.mlp.lin2.weight"],
+                                   sd[f"{p}.mlp.lin2.bias"]),
+        }
+    enc["neck_0"] = t2f_conv(sd["image_encoder.neck.0.weight"])
+    enc["neck_1"] = t2f_layernorm(sd["image_encoder.neck.1.weight"],
+                                  sd["image_encoder.neck.1.bias"])
+    enc["neck_2"] = t2f_conv(sd["image_encoder.neck.2.weight"])
+    enc["neck_3"] = t2f_layernorm(sd["image_encoder.neck.3.weight"],
+                                  sd["image_encoder.neck.3.bias"])
+
+    # mask_downscaling.* keys are intentionally dropped: the pipeline's
+    # SAM1 usage is point-grid prompting only (automatic_mask_generator
+    # feeds no mask prompts), so the flax module never builds that path
+    pe = {"pe_gaussian": np.asarray(
+        sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]),
+        "not_a_point_embed": np.asarray(
+            sd["prompt_encoder.not_a_point_embed.weight"]),
+        "no_mask_embed": np.asarray(sd["prompt_encoder.no_mask_embed.weight"])}
+    for i in range(4):
+        pe[f"point_embeddings_{i}"] = np.asarray(
+            sd[f"prompt_encoder.point_embeddings.{i}.weight"])
+
+    md = {"iou_token": np.asarray(sd["mask_decoder.iou_token.weight"]),
+          "mask_tokens": np.asarray(sd["mask_decoder.mask_tokens.weight"])}
+    tw = {}
+    n_tw = _count(sd, "mask_decoder.transformer.layers.{}.norm1.weight")
+    for i in range(n_tw):
+        p = f"mask_decoder.transformer.layers.{i}"
+        tw[f"layers_{i}"] = {
+            "self_attn": _sam2_attn_ds(sd, f"{p}.self_attn"),
+            "cross_attn_token_to_image": _sam2_attn_ds(
+                sd, f"{p}.cross_attn_token_to_image"),
+            "cross_attn_image_to_token": _sam2_attn_ds(
+                sd, f"{p}.cross_attn_image_to_token"),
+            "mlp_layers_0": t2f_linear(sd[f"{p}.mlp.lin1.weight"],
+                                       sd[f"{p}.mlp.lin1.bias"]),
+            "mlp_layers_1": t2f_linear(sd[f"{p}.mlp.lin2.weight"],
+                                       sd[f"{p}.mlp.lin2.bias"]),
+            **{f"norm{k}": t2f_layernorm(sd[f"{p}.norm{k}.weight"],
+                                         sd[f"{p}.norm{k}.bias"])
+               for k in (1, 2, 3, 4)},
+        }
+    tw["final_attn_token_to_image"] = _sam2_attn_ds(
+        sd, "mask_decoder.transformer.final_attn_token_to_image")
+    tw["norm_final_attn"] = t2f_layernorm(
+        sd["mask_decoder.transformer.norm_final_attn.weight"],
+        sd["mask_decoder.transformer.norm_final_attn.bias"])
+    md["transformer"] = tw
+    for j in (0, 3):
+        md[f"output_upscaling_{j}"] = {
+            "weight": np.asarray(sd[f"mask_decoder.output_upscaling.{j}.weight"]),
+            "bias": np.asarray(sd[f"mask_decoder.output_upscaling.{j}.bias"])}
+    md["output_upscaling_1"] = t2f_layernorm(
+        sd["mask_decoder.output_upscaling.1.weight"],
+        sd["mask_decoder.output_upscaling.1.bias"])
+    n_hyper = _count(
+        sd, "mask_decoder.output_hypernetworks_mlps.{}.layers.0.weight")
+    for i in range(n_hyper):
+        md[f"output_hypernetworks_mlps_{i}"] = _sam2_mlp(
+            sd, f"mask_decoder.output_hypernetworks_mlps.{i}", 3)
+    md["iou_prediction_head"] = _sam2_mlp(
+        sd, "mask_decoder.iou_prediction_head", 3)
+
+    return {"params": {"image_encoder": enc, "prompt_encoder": pe,
+                       "mask_decoder": md}}
+
+
 def t2f_conv2d_as_3d(w: np.ndarray, b=None) -> Dict[str, np.ndarray]:
     """torch Conv2d [O,I,kh,kw] -> flax 3D kernel [1,kh,kw,I,O] (per-frame
     conv expressed as a kt=1 3D conv)."""
