@@ -36,6 +36,9 @@ class PipelinePaths:
     skip_video_process: bool = False
     skip_pose_estimate: bool = False
     skip_lang_feature_extraction: bool = False
+    # language-feature extractor checkpoints (either may be empty):
+    openseg_path: str = ""    # TF SavedModel dir (preprocessor.py:22-34)
+    clip_ckpt: str = ""       # torch CLIPVisionModelWithProjection ckpt
 
 
 class VideoPreprocessor:
@@ -162,20 +165,36 @@ class FieldConstructionPipeline:
         from .pose_estimation import estimate_poses_vggt
         estimate_poses_vggt(self.paths.data_path)
 
-    def extract_language_features(self) -> None:
-        """OpenSeg/CLIP feature lifting + per-scene AE compression
-        (preprocessor.py:22-227). The TF OpenSeg SavedModel is not
-        available in this environment; features must already exist in
-        lang_features/ (e.g. produced by models/openseg bridge) — the AE
-        training + per-pixel scatter runs here."""
+    def extract_language_features(self, extractor=None) -> None:
+        """Language feature lifting + per-scene AE compression
+        (preprocessor.py:22-227). Feature source priority: precomputed
+        lang_features/ rows -> explicit ``extractor`` -> OpenSeg TF
+        SavedModel (paths.openseg_path) -> native CLIP dense extractor
+        (paths.clip_ckpt; models/clip_dense). The AE training + per-pixel
+        scatter then runs on the pooled rows."""
         from .train.ae import generate_dim3_features
         lf = os.path.join(self.paths.data_path, "lang_features")
         seg = os.path.join(self.paths.data_path, "lang_features_dim3")
         if not os.path.isdir(lf) or not os.listdir(lf):
-            log.warning("lang_features/ missing; skipping AE stage "
-                        "(provide pooled features per preprocessor.py:22-90)")
-            return
+            extractor = extractor or self._make_lang_extractor()
+            if extractor is None:
+                log.warning(
+                    "lang_features/ missing and no extractor configured "
+                    "(set openseg_path or clip_ckpt); skipping AE stage")
+                return
+            from .models.openseg import extract_scene_features
+            extract_scene_features(self.paths.data_path, extractor=extractor)
         generate_dim3_features(lf, seg, seg)
+
+    def _make_lang_extractor(self):
+        p = self.paths
+        if p.openseg_path and os.path.isdir(p.openseg_path):
+            from .models.openseg import OpenSegExtractor
+            return OpenSegExtractor(p.openseg_path)
+        if p.clip_ckpt and os.path.exists(p.clip_ckpt):
+            from .models.clip_dense import ClipDenseExtractor
+            return ClipDenseExtractor.from_torch_checkpoint(p.clip_ckpt)
+        return None
 
     # ------------------------------------------------------------- train
     def construct_field(self, iterations: Optional[int] = None):

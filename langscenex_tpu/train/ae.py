@@ -38,11 +38,15 @@ def _l2(x, y):
 
 
 class AETrainer:
-    def __init__(self, seed: int = 42, lr: float = 1e-4):
-        self.model = Autoencoder()
+    def __init__(self, seed: int = 42, lr: float = 1e-4,
+                 input_dim: int = 768):
+        from ..models.autoencoder import DECODER_DIMS
+        dec = tuple(DECODER_DIMS[:-1]) + (input_dim,)
+        self.model = Autoencoder(decoder_dims=dec)
         self.key = jax.random.PRNGKey(seed)
         self.tx = optax.adam(lr)
-        variables = self.model.init(self.key, jnp.zeros((2, 768)), train=True)
+        variables = self.model.init(self.key, jnp.zeros((2, input_dim)),
+                                    train=True)
         self.params = variables['params']
         self.batch_stats = variables['batch_stats']
         self.opt_state = self.tx.init(self.params)

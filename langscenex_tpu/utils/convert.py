@@ -737,6 +737,47 @@ def convert_cogvideox_vae(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": {"encoder": enc, "decoder": dec}}
 
 
+def convert_clip_vision(sd: Dict[str, np.ndarray]) -> Dict:
+    """HuggingFace ``CLIPVisionModelWithProjection`` state_dict
+    (openai/clip-vit-large-patch14) -> flax params for
+    models/clip_dense.CLIPVisionDense. Note HF's historical key typo
+    ``pre_layrnorm``. Verified numerically vs torch at random init in
+    tests/test_clip_dense.py."""
+    pre = "vision_model."
+    out = {
+        "class_embedding": np.asarray(sd[pre + "embeddings.class_embedding"]),
+        "position_embedding": np.asarray(
+            sd[pre + "embeddings.position_embedding.weight"]),
+        "patch_embedding": t2f_conv(
+            sd[pre + "embeddings.patch_embedding.weight"]),
+        "pre_layernorm": t2f_layernorm(
+            sd[pre + "pre_layrnorm.weight"], sd[pre + "pre_layrnorm.bias"]),
+        "post_layernorm": t2f_layernorm(
+            sd[pre + "post_layernorm.weight"],
+            sd[pre + "post_layernorm.bias"]),
+        "visual_projection": t2f_linear(sd["visual_projection.weight"]),
+    }
+    i = 0
+    while f"{pre}encoder.layers.{i}.layer_norm1.weight" in sd:
+        lp = f"{pre}encoder.layers.{i}."
+        out[f"layers_{i}"] = {
+            "layer_norm1": t2f_layernorm(sd[lp + "layer_norm1.weight"],
+                                         sd[lp + "layer_norm1.bias"]),
+            "layer_norm2": t2f_layernorm(sd[lp + "layer_norm2.weight"],
+                                         sd[lp + "layer_norm2.bias"]),
+            "self_attn": {
+                name: t2f_linear(sd[lp + f"self_attn.{name}.weight"],
+                                 sd[lp + f"self_attn.{name}.bias"])
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "fc1": t2f_linear(sd[lp + "mlp.fc1.weight"],
+                              sd[lp + "mlp.fc1.bias"]),
+            "fc2": t2f_linear(sd[lp + "mlp.fc2.weight"],
+                              sd[lp + "mlp.fc2.bias"]),
+        }
+        i += 1
+    return out
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")

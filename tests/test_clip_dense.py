@@ -1,0 +1,116 @@
+"""CLIP dense feature extractor: converter parity vs torch + stage-3
+integration (images + masks -> pooled rows -> AE -> *_f.npy), replacing
+the reference's OpenSeg TF extractor (preprocessor.py:22-90)."""
+import os
+
+import numpy as np
+import pytest
+
+from langscenex_tpu.models.clip_dense import (CLIPVisionConfig,
+                                              CLIPVisionDense,
+                                              ClipDenseExtractor)
+from langscenex_tpu.utils.convert import convert_clip_vision
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+TINY = CLIPVisionConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                        num_heads=4, patch_size=14, image_size=28,
+                        projection_dim=16)
+
+
+def _torch_tiny():
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        projection_dim=16)
+    torch.manual_seed(0)
+    return transformers.CLIPVisionModelWithProjection(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def pair():
+    tm = _torch_tiny()
+    sd = {k: np.asarray(v) for k, v in tm.state_dict().items()}
+    return tm, convert_clip_vision(sd)
+
+
+def test_pooled_matches_torch(pair):
+    tm, params = pair
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(img)).image_embeds.numpy()
+    pooled, dense = CLIPVisionDense(TINY).apply(
+        {"params": params}, np.transpose(img, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(pooled), ref, atol=2e-5)
+    assert dense.shape == (2, 2, 2, 16)
+
+
+def test_dense_matches_torch_value_readout(pair):
+    """MaskCLIP identity-attention readout recomputed with the torch
+    modules: last block out_i = OutProj(V(ln1(x)_i)) + x_i, then MLP,
+    post-LN, projection."""
+    tm, params = pair
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+    vm = tm.vision_model
+    with torch.no_grad():
+        x = vm.embeddings(torch.from_numpy(img))
+        x = vm.pre_layrnorm(x)
+        x = vm.encoder.layers[0](x, None, None)[0]
+        last = vm.encoder.layers[1]
+        h = last.layer_norm1(x)
+        v = last.self_attn.out_proj(last.self_attn.v_proj(h))
+        x = x + v
+        x = x + last.mlp(last.layer_norm2(x))
+        ref = tm.visual_projection(vm.post_layernorm(x[:, 1:])).numpy()
+    _, dense = CLIPVisionDense(TINY).apply(
+        {"params": params}, np.transpose(img, (0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(dense).reshape(1, 4, 16), ref, atol=2e-5)
+
+
+def test_posembed_interpolation_nonsquare(pair):
+    """Non-224 input sizes run via bilinear pos-embed interpolation."""
+    _, params = pair
+    x = np.zeros((1, 42, 56, 3), np.float32)
+    pooled, dense = CLIPVisionDense(TINY).apply({"params": params}, x)
+    assert dense.shape == (1, 3, 4, 16)
+    assert np.all(np.isfinite(np.asarray(pooled)))
+
+
+def test_stage3_integration(tmp_path, pair):
+    """images + *_s.npy masks -> ClipDenseExtractor -> pooled rows ->
+    AE -> per-pixel *_f.npy (the VERDICT item-7 'done' chain)."""
+    from PIL import Image
+
+    from langscenex_tpu.models.openseg import extract_scene_features
+    from langscenex_tpu.train.ae import AETrainer, generate_dim3_features
+
+    _, params = pair
+    data = tmp_path
+    os.makedirs(data / "input")
+    os.makedirs(data / "lang_features_dim3")
+    rng = np.random.default_rng(2)
+    H, W = 20, 24
+    for i in range(2):
+        img = rng.integers(0, 255, (H, W, 3), np.uint8)
+        Image.fromarray(img).save(data / "input" / f"{i + 1:04d}.png")
+        seg = rng.integers(-1, 3, (H, W)).astype(np.int64)
+        np.save(data / "lang_features_dim3" / f"{i + 1:04d}_s.npy", seg)
+
+    extractor = ClipDenseExtractor(params, TINY, max_side=28)
+    extract_scene_features(str(data), extractor=extractor)
+
+    rows = np.load(data / "lang_features" / "0001.npy")
+    assert rows.ndim == 2 and rows.shape[1] == 16
+    np.testing.assert_allclose(np.linalg.norm(rows, axis=1), 1.0, atol=1e-5)
+
+    trainer = AETrainer(input_dim=16)
+    generate_dim3_features(str(data / "lang_features"),
+                           str(data / "lang_features_dim3"),
+                           str(data / "lang_features_dim3"),
+                           trainer=trainer, num_epochs=2)
+    f = np.load(data / "lang_features_dim3" / "0001_f.npy")
+    assert f.shape[-2:] == (H, W) and np.all(np.isfinite(f))
