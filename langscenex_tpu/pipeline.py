@@ -213,7 +213,12 @@ class FieldConstructionPipeline:
             sh_degree_max=self.cfg.dataset.sh_degree,
             white_background=self.cfg.dataset.white_background,
             lang_dir=lang_dir if os.path.isdir(lang_dir) else None)
-        state, metrics = trainer.train(iterations=iterations)
+        out_dir = self.paths.model_path or os.path.join(
+            self.paths.data_path, "output")
+        state, metrics = trainer.train(
+            iterations=iterations, save_dir=out_dir,
+            test_iterations=self.cfg.test_iterations,
+            collage_interval=200)
         # save splat PLY + optimized poses (gaussian_field.py:516-549)
         from .scene.ply_io import save_ply
         out = self.paths.model_path or os.path.join(self.paths.data_path,
@@ -249,7 +254,6 @@ class FieldConstructionPipeline:
     def eval(self, load_iteration: Optional[int] = None):
         from .scene.dataset_readers import load_scene
         from .scene.ply_io import load_ply
-        from .train.render_mode import eval_views
         out = self.paths.model_path or os.path.join(self.paths.data_path,
                                                     "output")
         it = load_iteration or self.cfg.render.load_iteration
@@ -257,10 +261,10 @@ class FieldConstructionPipeline:
             out, f"point_cloud/iteration_{it}", "point_cloud.ply"),
             self.cfg.dataset.sh_degree)
         info = load_scene(self.paths.data_path, kind="cut3r", shuffle=False)
-        results = []
-        for cam, pose, maps, psnr in eval_views(
-                splats, info.cameras,
-                pose_optim_iters=self.cfg.render.pose_optim_iter):
-            results.append({"camera": cam.image_name, "psnr": psnr})
-            log.info("eval %s psnr=%.2f", cam.image_name, psnr)
+        from .train.render_mode import eval_result
+        results = eval_result(
+            splats, info.cameras, out,
+            pose_optim_iters=self.cfg.render.pose_optim_iter)
+        for r in results:
+            log.info("eval %s psnr=%.2f", r["camera"], r["psnr"])
         return results

@@ -583,11 +583,111 @@ class GaussianFieldTrainer:
                 self.scene_extent)
         return self._steps[flags]
 
+    # ---------------- observability ----------------
+
+    def _eval_render(self, ci: int, include_feature: bool,
+                     return_plane: bool):
+        """Render camera ci with the nominal (non-optimized) pose and the
+        current splats — the training_report contract ('do not use the
+        optimized poses', gaussian_field.py:562-565)."""
+        key = (include_feature, return_plane)
+        if key not in getattr(self, '_eval_rfns', {}):
+            self._eval_rfns = getattr(self, '_eval_rfns', {})
+            self._eval_rfns[key] = jax.jit(
+                lambda splats, w2c, sh: render_view(
+                    splats, None, w2c, self.proxy_cam, self.bg, sh,
+                    include_feature, return_plane, None, self.rcfg),
+                static_argnames='sh')
+        return self._eval_rfns[key](
+            self.state.splats, jnp.asarray(self.cams[ci].w2c),
+            self.active_sh_degree)
+
+    def training_report(self, it: int, save_dir: str) -> dict:
+        """test_iterations validation (gaussian_field.py:562-602): render
+        train cams [5,10,15,20,25] (mod N), L1+PSNR, save render|gt
+        side-by-side PNGs to save_dir/valid/."""
+        import logging
+        import os
+
+        from PIL import Image
+        log = logging.getLogger(__name__)
+        os.makedirs(os.path.join(save_dir, "valid"), exist_ok=True)
+        idxs = [i % len(self.cams) for i in range(5, 30, 5)]
+        l1_t, psnr_t = 0.0, 0.0
+        for ci in idxs:
+            out = self._eval_render(ci, False, False)
+            a, b = self.state.app_ab[ci]
+            image = jnp.clip(jnp.exp(a) * out.color + b, 0.0, 1.0)
+            gt = jnp.clip(self._camera_arrays(ci)['gt_image'], 0.0, 1.0)
+            l1 = float(jnp.mean(jnp.abs(image - gt)))
+            mse = float(jnp.mean((image - gt) ** 2))
+            psnr = -10.0 * math.log10(max(mse, 1e-12))
+            l1_t += l1
+            psnr_t += psnr
+            side = np.concatenate(
+                [np.asarray(image), np.asarray(gt)], axis=2)
+            Image.fromarray(
+                (side.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+                os.path.join(save_dir, "valid",
+                             f"{it}_{self.cams[ci].uid}.png"))
+        l1_t /= len(idxs)
+        psnr_t /= len(idxs)
+        log.info("[ITER %d] Evaluating train: L1 %.5f PSNR %.3f",
+                 it, l1_t, psnr_t)
+        return {"l1": l1_t, "psnr": psnr_t}
+
+    def debug_collage(self, it: int, ci: int, save_dir: str) -> None:
+        """8-panel debug dump every 200 iters (gaussian_field.py:342-378):
+        row0 = gt | render | rendered-normal | distance,
+        row1 = image-weight | plane-depth | depth-normal | normal-prior."""
+        import os
+
+        from PIL import Image
+
+        from ..ops.depth_normal import normal_from_depth
+        from ..ops.losses import image_grad_weight
+        from ..utils.colormaps import apply_colormap, normalize
+
+        os.makedirs(os.path.join(save_dir, "debug"), exist_ok=True)
+        cam = self.cams[ci]
+        arrs = self._camera_arrays(ci)
+        out = self._eval_render(ci, False, True)
+
+        def u8(chw):
+            x = np.clip(np.asarray(chw), 0, 1)
+            return (x.transpose(1, 2, 0) * 255).astype(np.uint8)
+
+        def cmap_u8(x):
+            return (apply_colormap(np.asarray(x)) * 255).astype(np.uint8)
+
+        gt = u8(arrs['gt_image'])
+        render = u8(out.color)
+        nrm = u8((out.all_map[:3] + 1.0) * 0.5)
+        dist = cmap_u8(normalize(np.asarray(out.all_map[4])))
+        depth = np.asarray(out.plane_depth)
+        depth_c = cmap_u8(normalize(depth))
+        K = jnp.asarray(cam.K())
+        dn = normal_from_depth(jnp.asarray(depth), K)
+        w2c = np.asarray(arrs['w2c'])
+        dn_world = np.asarray(dn) @ w2c[:3, :3]          # cam -> world rows
+        dn_c = ((np.clip(dn_world, -1, 1) + 1) * 0.5 * 255).astype(np.uint8)
+        weight = cmap_u8(
+            np.asarray(image_grad_weight(jnp.asarray(arrs['gt_image']))))
+        nprior = u8((arrs['normal_prior'] + 1.0) * 0.5)
+
+        row0 = np.concatenate([gt, render, nrm, dist], axis=1)
+        row1 = np.concatenate([weight, depth_c, dn_c, nprior], axis=1)
+        collage = np.concatenate([row0, row1], axis=0)
+        name = cam.image_name or str(cam.uid)
+        Image.fromarray(collage).save(
+            os.path.join(save_dir, "debug", f"{it:05d}_{name}.jpg"))
+
     # ---------------- main loop ----------------
 
     def train(self, iterations: Optional[int] = None, log_every: int = 0,
               callback=None, save_dir: Optional[str] = None,
-              save_iterations=(), checkpoint_iterations=()):
+              save_iterations=(), checkpoint_iterations=(),
+              test_iterations=(), collage_interval: int = 0):
         """Main loop. With ``save_dir``: PLY snapshots (with language/
         instance channels) at ``save_iterations`` and full orbax TrainState
         checkpoints at ``checkpoint_iterations`` plus optimized-pose npys —
@@ -595,6 +695,7 @@ class GaussianFieldTrainer:
         cfg = self.cfg
         iterations = iterations or cfg.iterations
         metrics = {}
+        ema_loss = 0.0
         for it in range(1, iterations + 1):
             if it % 100 == 0 and self.active_sh_degree < self.sh_degree_max:
                 self.active_sh_degree += 1
@@ -649,11 +750,18 @@ class GaussianFieldTrainer:
             if save_dir and it in set(checkpoint_iterations):
                 from .checkpoint import save_checkpoint
                 save_checkpoint(save_dir, self.state, it)
+            if save_dir and it in set(test_iterations):
+                self.training_report(it, save_dir)
+            if (save_dir and collage_interval
+                    and it % collage_interval == 0):
+                self.debug_collage(it, ci, save_dir)
 
             if log_every and it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                # EMA postfix (decay 0.4/0.6, gaussian_field.py:490-511)
+                ema_loss = 0.4 * m.get('total', 0.0) + 0.6 * ema_loss
                 n = int(self.state.splats.num_alive)
-                print(f"[{it}] alive={n} " +
+                print(f"[{it}] alive={n} ema={ema_loss:.5f} " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))
             if callback is not None:
                 callback(it, self.state, metrics)

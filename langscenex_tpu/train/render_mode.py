@@ -140,6 +140,66 @@ def _fuse_and_save(view_maps, color_key, out_dir, name, voxel_size):
     save_mesh_ply(os.path.join(out_dir, name), verts, faces, cols)
 
 
+def eval_result(splats: GaussianState, test_cams: List[Camera],
+                out_dir: str, rcfg: RasterConfig = RasterConfig(),
+                sh_degree: int = 3, pose_optim_iters: int = 100):
+    """Eval mode with the reference's full artifact tree
+    (gaussian_field.py:892-971): out_dir/eval/{renders_rgb (render|gt
+    side-by-side), renders_lang, renders_instance, renders_lang_npy,
+    renders_instance_npy (HWC float npys), renders_depth,
+    renders_depth_npy, renders_normal} per test view, after the 100-iter
+    pose-only fit. Returns the per-view PSNR list."""
+    import os
+
+    from PIL import Image
+    base = os.path.join(out_dir, "eval")
+    dirs = ["renders_rgb", "renders_depth", "renders_depth_npy",
+            "renders_normal", "renders_lang", "renders_instance",
+            "renders_lang_npy", "renders_instance_npy"]
+    for d in dirs:
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+
+    def save_png(path, chw):
+        x = np.clip(np.asarray(chw), 0, 1)
+        if x.ndim == 2:
+            x = x[None]
+        arr = (x.transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(arr.squeeze() if arr.shape[-1] == 1 else arr
+                        ).save(path)
+
+    results = []
+    for cam, pose, maps, psnr in eval_views(
+            splats, test_cams, rcfg, sh_degree, pose_optim_iters):
+        name = cam.image_name or f"{cam.uid:04d}"
+        gt, _ = cam.load_image()
+        side = np.concatenate(
+            [np.clip(maps["render"], 0, 1), np.clip(gt, 0, 1)], axis=2)
+        save_png(os.path.join(base, "renders_rgb", name + ".png"), side)
+        for key, dpng, dnpy in (
+                ("language_feature", "renders_lang", "renders_lang_npy"),
+                ("instance_feature", "renders_instance",
+                 "renders_instance_npy")):
+            feat = maps[key]
+            np.save(os.path.join(base, dnpy, name + ".npy"),
+                    feat.transpose(1, 2, 0))
+            save_png(os.path.join(base, dpng, name + ".png"),
+                     pca_colormap(
+                         (feat - feat.min())
+                         / max(feat.max() - feat.min(), 1e-8)))
+        if maps.get("plane_depth") is not None:
+            d = maps["plane_depth"]
+            np.save(os.path.join(base, "renders_depth_npy", name + ".npy"),
+                    d)
+            save_png(os.path.join(base, "renders_depth", name + ".png"),
+                     (d - d.min()) / max(d.max() - d.min(), 1e-8))
+        if maps.get("rendered_normal") is not None:
+            save_png(os.path.join(base, "renders_normal", name + ".png"),
+                     (maps["rendered_normal"] + 1.0) * 0.5)
+        results.append({"camera": name, "psnr": psnr,
+                        "pose": pose.tolist()})
+    return results
+
+
 def eval_views(splats: GaussianState, test_cams: List[Camera],
                rcfg: RasterConfig = RasterConfig(), sh_degree: int = 3,
                pose_optim_iters: int = 100, lr: float = 1e-3,
@@ -181,5 +241,7 @@ def eval_views(splats: GaussianState, test_cams: List[Camera],
         psnr = -10.0 * np.log10(max(mse, 1e-12))
         maps = {"render": np.asarray(out.color),
                 "language_feature": np.asarray(out.language),
-                "instance_feature": np.asarray(out.instance)}
+                "instance_feature": np.asarray(out.instance),
+                "plane_depth": np.asarray(out.plane_depth),
+                "rendered_normal": np.asarray(out.all_map[:3])}
         yield cam, np.asarray(pose), maps, psnr

@@ -82,3 +82,33 @@ class TestRenderMode:
         _, pose, maps, psnr = results[0]
         assert np.isfinite(psnr)
         assert maps["render"].shape[0] == 3
+
+
+class TestEvalArtifacts:
+    def test_eval_result_artifact_tree(self, tmp_path):
+        """eval_result writes the reference's eval/ artifact tree
+        (gaussian_field.py:892-971): side-by-side rgb, lang/instance
+        PNGs + HWC npys, depth + normal maps."""
+        from langscenex_tpu.train.render_mode import eval_result
+        cams = make_cams(n=1)
+        pts, colors = gt_scene(P=30)
+        imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=32)
+        results = eval_result(splats, cams, str(tmp_path), rcfg=RCFG,
+                              sh_degree=0, pose_optim_iters=2)
+        assert len(results) == 1 and np.isfinite(results[0]["psnr"])
+        base = tmp_path / "eval"
+        name = cams[0].image_name or f"{cams[0].uid:04d}"
+        for d, ext in [("renders_rgb", ".png"), ("renders_lang", ".png"),
+                       ("renders_instance", ".png"),
+                       ("renders_lang_npy", ".npy"),
+                       ("renders_instance_npy", ".npy"),
+                       ("renders_depth", ".png"),
+                       ("renders_depth_npy", ".npy"),
+                       ("renders_normal", ".png")]:
+            assert (base / d / (name + ext)).exists(), d
+        lang = np.load(base / "renders_lang_npy" / (name + ".npy"))
+        assert lang.shape[-1] == 3 and lang.ndim == 3  # HWC contract

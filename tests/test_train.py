@@ -1,4 +1,5 @@
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -219,3 +220,30 @@ class TestDensify:
         res = densify_and_prune(jax.random.PRNGKey(0), state, stats, cfg,
                                 scene_extent=10.0, size_threshold=None)
         assert int(jnp.sum(res.state.alive)) <= cap
+
+
+class TestObservability:
+    def test_training_report_and_collage(self, tmp_path):
+        """test_iterations PSNR validation + 8-panel debug collage
+        (gaussian_field.py:562-602, 342-378)."""
+        from langscenex_tpu.train.field import GaussianFieldTrainer
+        cams = make_cams(n=3)
+        pts, colors = gt_scene(P=40)
+        imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=64)
+        cfg = OptimizationConfig(iterations=4, densify_from_iter=999,
+                                 multi_view_sample_num=16)
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=3.0,
+                                  sh_degree_max=0, rcfg=RCFG)
+        tr.train(iterations=4, save_dir=str(tmp_path),
+                 test_iterations=(2,), collage_interval=3)
+        valid = os.listdir(tmp_path / "valid")
+        assert any(f.startswith("2_") and f.endswith(".png")
+                   for f in valid)
+        debug = os.listdir(tmp_path / "debug")
+        assert any(f.startswith("00003_") for f in debug)
+        rep = tr.training_report(5, str(tmp_path))
+        assert np.isfinite(rep["psnr"]) and rep["psnr"] > 0
