@@ -146,8 +146,12 @@ class MaskAligner:
                     if m.sum() == 0:
                         continue
                     self._add(state, now_frame, oid, m, (H, W))
+                # proposals are low-res (image_size/4); compare at frame res
                 new_masks = search_new_objects(
-                    [m for _, m in sorted(prev.items())], proposals,
+                    [m for _, m in sorted(prev.items())],
+                    [dict(e, segmentation=_resize(
+                        e["segmentation"], (H, W)) > 0)
+                     for e in proposals],
                     cfg.new_obj_ratio, cfg.new_obj_min_area)
                 for seg in new_masks:
                     if next_obj >= cfg.max_objects:
@@ -224,7 +228,12 @@ def save_outputs(seg_maps: np.ndarray, colors: np.ndarray, out_dir: str,
     maps, ``colors.npy``, and flat-color keyframe PNGs
     (auto-mask-align.py:616-640)."""
     os.makedirs(out_dir, exist_ok=True)
-    np.save(os.path.join(out_dir, "colors.npy"), colors)
+    # palette row 0 = black background, object oid -> row oid+1
+    # (post_colors = [(0,0,0)] + colors, auto-mask-align.py:609-611; the
+    # video preprocessor's nearest-color id map subtracts 1 to recover -1
+    # as background)
+    np.save(os.path.join(out_dir, "colors.npy"),
+            np.concatenate([np.zeros((1, 3), colors.dtype), colors], 0))
     T = seg_maps.shape[0]
     for t in range(T):
         np.save(os.path.join(out_dir, f"{t + 1:04d}_s.npy"), seg_maps[t])
@@ -239,3 +248,32 @@ def save_outputs(seg_maps: np.ndarray, colors: np.ndarray, out_dir: str,
             img[seg == oid] = colors[oid % len(colors)]
         Image.fromarray(img).save(
             os.path.join(out_dir, f"key_{t + 1:04d}.png"))
+
+
+def build_from_checkpoints(sam1_ckpt: str, sam2_ckpt: str,
+                           amg_cfg=None, image_size: int = 1024):
+    """Assemble the production proposal+tracking stack from the two torch
+    checkpoints the reference downloads (quick_start.sh:6-7:
+    sam_vit_h_4b8939.pth + sam2_hiera_large.pt), through the verified
+    converters. Returns (SAM1AutomaticMaskGenerator, SAM2VideoPredictor).
+    """
+    import torch
+
+    from ..models.sam1 import (SAM1, SAM1AMGConfig, SAM1Config,
+                               SAM1AutomaticMaskGenerator)
+    from ..models.sam2.model import SAM2, SAM2Config, SAM2VideoPredictor
+    from ..utils.convert import convert_sam1, convert_sam2
+
+    sd1 = torch.load(sam1_ckpt, map_location="cpu", weights_only=True)
+    sd1 = {k: np.asarray(v) for k, v in sd1.items()}
+    m1 = SAM1(SAM1Config())
+    amg = SAM1AutomaticMaskGenerator(m1, convert_sam1(sd1),
+                                     amg_cfg or SAM1AMGConfig())
+
+    sd2 = torch.load(sam2_ckpt, map_location="cpu", weights_only=True)
+    if "model" in sd2:
+        sd2 = sd2["model"]
+    sd2 = {k: np.asarray(v) for k, v in sd2.items()}
+    m2 = SAM2(SAM2Config(image_size=image_size))
+    pred = SAM2VideoPredictor(m2, convert_sam2(sd2))
+    return amg, pred

@@ -115,6 +115,126 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, Tp, D)[:, :, :T]
 
 
+def _attn_kernel_h2(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                    *, kv_len, block_k, needs_mask, d):
+    """Two heads per instance, block-diagonally packed so every matmul is
+    full MXU shape at D=64: a K=64 contraction costs the same as K=128 on
+    the 128x128 systolic array, so packing head pairs doubles useful
+    throughput (VERDICT item 5). Layout per step:
+
+      q_pack [Bq, 2D]   = [q_h1 | q_h2]
+      K_bd   [2Bk, 2D]  = [[k_h1, 0], [0, k_h2]]
+      s2     [Bq, 2Bk]  = q_pack @ K_bd^T   (full 128-deep contraction)
+      V_bd   [2Bk, 2D]  = [[v_h1, 0], [0, v_h2]]
+      acc    [Bq, 2D]  += p @ V_bd          (full 128-wide output)
+
+    softmax stats are per head: the two Bk-halves of s2 never mix."""
+    kb = pl.program_id(2)
+    is_first = kb == 0
+    is_last = kb == pl.num_programs(2) - 1
+
+    @pl.when(is_first)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q_pack = jnp.concatenate([q_ref[0], q_ref[1]], axis=1)   # [Bq, 2D]
+    zpad = jnp.zeros((k_ref.shape[1], d), k_ref.dtype)
+    k_bd = jnp.concatenate([
+        jnp.concatenate([k_ref[0], zpad], axis=1),
+        jnp.concatenate([zpad, k_ref[1]], axis=1)], axis=0)  # [2Bk, 2D]
+    v_bd = jnp.concatenate([
+        jnp.concatenate([v_ref[0], zpad], axis=1),
+        jnp.concatenate([zpad, v_ref[1]], axis=1)], axis=0)
+
+    s2 = jax.lax.dot_general(
+        q_pack, k_bd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [Bq, 2Bk]
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+        col = (col % block_k) + kb * block_k
+        s2 = jnp.where(col < kv_len, s2, NEG_INF)
+
+    bk = block_k
+    s_a, s_b = s2[:, :bk], s2[:, bk:]
+    m_prev = m_ref[...]                                      # [Bq, 2]
+    m_cur = jnp.concatenate([jnp.max(s_a, 1, keepdims=True),
+                             jnp.max(s_b, 1, keepdims=True)], axis=1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(jnp.concatenate([s_a - m_new[:, 0:1],
+                                 s_b - m_new[:, 1:2]], axis=1))
+    alpha = jnp.exp(m_prev - m_new)                          # [Bq, 2]
+    l_ref[...] = l_ref[...] * alpha + jnp.concatenate(
+        [jnp.sum(p[:, :bk], 1, keepdims=True),
+         jnp.sum(p[:, bk:], 1, keepdims=True)], axis=1)
+    alpha_w = jnp.concatenate(
+        [jnp.broadcast_to(alpha[:, 0:1], (alpha.shape[0], d)),
+         jnp.broadcast_to(alpha[:, 1:2], (alpha.shape[0], d))], axis=1)
+    acc_ref[...] = acc_ref[...] * alpha_w + jax.lax.dot_general(
+        p.astype(v_bd.dtype), v_bd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(is_last)
+    def _():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        l_w = jnp.concatenate(
+            [jnp.broadcast_to(l[:, 0:1], (l.shape[0], d)),
+             jnp.broadcast_to(l[:, 1:2], (l.shape[0], d))], axis=1)
+        o = acc_ref[...] / l_w
+        o_ref[0] = o[:, :d].astype(o_ref.dtype)
+        o_ref[1] = o[:, d:].astype(o_ref.dtype)
+
+
+def flash_attention_h2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       scale: float | None = None,
+                       block_q: int = 1024,
+                       block_k: int = 512) -> jnp.ndarray:
+    """Head-pair-packed flash attention for D<=64 and even B*H.
+    Same contract as flash_attention."""
+    B, H, T, D = q.shape
+    Tk = k.shape[2]
+    assert (B * H) % 2 == 0 and D <= 64
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    bq = min(block_q, T)
+    bk = min(block_k, Tk)
+    Tp = ((T + bq - 1) // bq) * bq
+    Tkp = ((Tk + bk - 1) // bk) * bk
+    q = q * jnp.asarray(scale, q.dtype)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
+    qp = qp.reshape(B * H, Tp, D)
+    kp = kp.reshape(B * H, Tkp, D)
+    vp = vp.reshape(B * H, Tkp, D)
+
+    grid = (B * H // 2, Tp // bq, Tkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_h2, kv_len=Tk, block_k=bk,
+                          needs_mask=(Tkp != Tk), d=D),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, bq, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 2), jnp.float32),
+            pltpu.VMEM((bq, 2), jnp.float32),
+            pltpu.VMEM((bq, 2 * D), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out.reshape(B, H, Tp, D)[:, :, :T]
+
+
 _SEQ_PARALLEL = None
 
 

@@ -143,11 +143,18 @@ class FieldConstructionPipeline:
     eval on the filesystem contract."""
 
     def __init__(self, paths: PipelinePaths, gaussian_cfg=None,
-                 pose_estimator: str = "vggt"):
+                 pose_estimator: str = "vggt", ae_epochs: int = 400):
         from .utils.config import GaussianConfig
         self.paths = paths
         self.cfg = gaussian_cfg or GaussianConfig()
         self.pose_estimator = pose_estimator
+        self.ae_epochs = ae_epochs
+        # injectable model handles (tests / quick_start --tiny set these;
+        # production paths load converted checkpoints)
+        self.vggt_params = None
+        self.vggt_cfg = None
+        self.pose_target_wh = (720, 480)
+        self.lang_extractor = None
 
     # -------------------------------------------------------- preprocess
     def preprocess(self, lang_features: bool = True) -> None:
@@ -163,7 +170,9 @@ class FieldConstructionPipeline:
         """VGGT feed-forward pose init (pose_estimator/__init__.py:227-294):
         writes camera/%04d.npz {pose(c2w), intrinsics} + points3D.ply."""
         from .pose_estimation import estimate_poses_vggt
-        estimate_poses_vggt(self.paths.data_path)
+        estimate_poses_vggt(self.paths.data_path, params=self.vggt_params,
+                            cfg=self.vggt_cfg,
+                            target_wh=self.pose_target_wh)
 
     def extract_language_features(self, extractor=None) -> None:
         """Language feature lifting + per-scene AE compression
@@ -176,7 +185,8 @@ class FieldConstructionPipeline:
         lf = os.path.join(self.paths.data_path, "lang_features")
         seg = os.path.join(self.paths.data_path, "lang_features_dim3")
         if not os.path.isdir(lf) or not os.listdir(lf):
-            extractor = extractor or self._make_lang_extractor()
+            extractor = (extractor or self.lang_extractor
+                         or self._make_lang_extractor())
             if extractor is None:
                 log.warning(
                     "lang_features/ missing and no extractor configured "
@@ -184,7 +194,7 @@ class FieldConstructionPipeline:
                 return
             from .models.openseg import extract_scene_features
             extract_scene_features(self.paths.data_path, extractor=extractor)
-        generate_dim3_features(lf, seg, seg)
+        generate_dim3_features(lf, seg, seg, num_epochs=self.ae_epochs)
 
     def _make_lang_extractor(self):
         p = self.paths

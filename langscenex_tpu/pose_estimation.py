@@ -62,7 +62,7 @@ def estimate_poses_vggt(data_path: str, params=None, cfg=None,
     # rescale intrinsics to the target video resolution (:268-272)
     tw, th = target_wh
     scale_x, scale_y = tw / W, th / H
-    Ks = np.asarray(K)
+    Ks = np.array(K)      # copy: np.asarray of a jax array is read-only
     Ks[:, 0] *= scale_x
     Ks[:, 1] *= scale_y
 

@@ -149,7 +149,7 @@ def generate_dim3_features(lang_features_dir: str, seg_dir: str,
     feats = [np.load(n) for n in names]
     all_feats = np.concatenate(feats, axis=0)
     if trainer is None:
-        trainer = AETrainer()
+        trainer = AETrainer(input_dim=all_feats.shape[1])
     trainer.fit(all_feats, num_epochs=num_epochs)
     os.makedirs(out_dir, exist_ok=True)
     for idx, (name, f) in enumerate(zip(names, feats)):

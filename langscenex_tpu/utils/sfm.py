@@ -6,6 +6,13 @@ save_points3D:253 — covered by scene/colmap_io writers), and the
 co-visibility masks for the MASt3R/CUT3R paths (compute_co_vis_masks:378:
 project each view's depth points into the others and mark pixels whose
 depth is corroborated).
+
+Deliberately omitted from the reference's 512 LoC: the MASt3R-specific
+tensor glue (init_filestructure's wandb dirs, round_python3, rigid_points
+alignment duplicated from utils_poses), focal-estimation helpers used
+only by the MASt3R/CUT3R *external-package* paths, and matplotlib
+visualization — the pipeline-relevant surface (sizing rule, COLMAP
+writers, co-visibility) is complete here + scene/colmap_io.
 """
 from __future__ import annotations
 

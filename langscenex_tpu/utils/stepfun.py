@@ -4,6 +4,13 @@ Parity target: utils/stepfun.py (402 LoC vendored mip-NeRF helpers; the
 pose-eval/trajectory tooling uses searchsorted/sample/invert). Core ops
 reimplemented in jnp: searchsorted over sorted boundaries, weighted-CDF
 inverse sampling, piecewise-linear resampling.
+
+Deliberately omitted from the reference's 402 LoC (all dead for this
+pipeline): the mip-NeRF PDF-blurring/annealing family (blur_stepfun,
+anneal weights), histogram losses (lossfun_outer/distortion), and the
+max-dilate pooling — none are referenced by utils/utils_poses, the
+camera-path generators, or any pipeline stage (verified by grep over the
+reference tree; only sample/invert/searchsorted are live).
 """
 from __future__ import annotations
 

@@ -47,3 +47,33 @@ class TestFlashAttention:
         ref = reference_attention(q, q, q)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestFlashAttentionH2:
+    """Head-pair-packed kernel (full-MXU-shape matmuls at D=64)."""
+
+    @pytest.mark.parametrize("T,Tk", [(256, 256), (384, 640), (130, 70)])
+    def test_matches_reference(self, T, Tk):
+        from langscenex_tpu.ops.flash_attention import flash_attention_h2
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(1, 4, T, 64)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 4, Tk, 64)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 4, Tk, 64)).astype(np.float32))
+        ref = reference_attention(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_h2(q, k, v, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_extreme_logits_stable(self):
+        from langscenex_tpu.ops.flash_attention import flash_attention_h2
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(20 * rng.normal(size=(1, 2, 128, 64)).astype(np.float32))
+        k = jnp.asarray(20 * rng.normal(size=(1, 2, 128, 64)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, 128, 64)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_h2(q, k, v, block_q=64, block_k=64)
+        assert np.all(np.isfinite(np.asarray(out)))
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-3)

@@ -128,27 +128,8 @@ class TestConnected:
 
 
 def _init_sam2(model, key=0):
-    """Initialize the full SAM2 param tree by touching every submodule."""
-    img = jnp.zeros((1, 3, 64, 64))
-
-    def init_all(mdl, img):
-        out = mdl.forward_image(img)
-        feats = out["backbone_fpn"][-1]
-        high = out["backbone_fpn"][:2]
-        pos = out["vision_pos_enc"][-1]
-        mask = jnp.zeros((1, 1, 64, 64))
-        res = mdl.use_mask_as_output(feats, high, mask)
-        high_masks = res[4]
-        mem = mdl.encode_new_memory(feats, high_masks, False)
-        hw = feats.shape[1] * feats.shape[2]
-        memory = mem.reshape(1, hw, -1)
-        cond = mdl.condition_features(feats, pos, memory,
-                                      jnp.zeros_like(memory), 0)
-        mdl.add_no_mem_embed(feats)
-        return mdl.forward_sam_heads(cond, high_res_features=high,
-                                     multimask_output=True)
-
-    return SAM2.init(model, jax.random.PRNGKey(key), img, method=init_all)
+    from langscenex_tpu.models.sam2.model import init_sam2_params
+    return init_sam2_params(model, key)
 
 
 class TestEndToEnd:
