@@ -28,17 +28,21 @@ def main():
     # Chain iterations through a scalar data dependency so the device
     # executes them sequentially with ONE final fetch: per-iteration
     # host fetches add ~25ms tunnel RTT each, and unfetched dispatches
-    # have been observed to report phantom sub-ms times.
-    def step(carry, _):
-        a0 = args[0] + carry * 1e-30
-        out = fn(a0, *args[1:])
-        return jnp.sum(out[0]), None
-
+    # have been observed to report phantom sub-ms times. Inputs are jit
+    # ARGUMENTS, not closed-over constants — constants are embedded in
+    # the remote-compile request (slow upload; HTTP 413 at larger sizes).
     n = 20
-    jfn = jax.jit(lambda: jax.lax.scan(step, jnp.zeros(()), None, length=n)[0])
-    s = float(jfn())        # compile + warm
+
+    def body(*a):
+        def step(carry, _):
+            out = fn(a[0] + carry * 1e-30, *a[1:])
+            return jnp.sum(out[0]), None
+        return jax.lax.scan(step, jnp.zeros(()), None, length=n)[0]
+
+    jfn = jax.jit(body)
+    s = float(jfn(*args))        # compile + warm
     t0 = time.perf_counter()
-    s = float(jfn())
+    s = float(jfn(*args))
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
     print(json.dumps({

@@ -19,16 +19,17 @@ def timed(name, fn, n=8):
     k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
 
-    def step(carry, _):
-        out = fn(q + carry.astype(jnp.bfloat16) * 0, k, v)
-        return jnp.sum(out[:, :, 0, :]).astype(jnp.float32), None
-
     try:
-        jfn = jax.jit(lambda: jax.lax.scan(
-            step, jnp.zeros((), jnp.float32), None, length=n)[0])
-        float(jfn())
+        def body(qq, kk, vv):
+            def step(carry, _):
+                out = fn(qq + carry.astype(jnp.bfloat16) * 0, kk, vv)
+                return jnp.sum(out[:, :, 0, :]).astype(jnp.float32), None
+            return jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                                None, length=n)[0]
+        jfn = jax.jit(body)
+        float(jfn(q, k, v))
         t0 = time.perf_counter()
-        float(jfn())
+        float(jfn(q, k, v))
         dt = (time.perf_counter() - t0) / n
         mfu = FLOPS / dt / PEAK
         print(f"{name:34s} {dt*1e3:8.2f} ms   MFU {mfu*100:5.1f}%",

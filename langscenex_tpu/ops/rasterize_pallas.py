@@ -82,13 +82,15 @@ def _segment_lookup(boundary_pos: jnp.ndarray, values: jnp.ndarray,
 
 
 def build_aligned_pairs(lists: TileLists, n_tiles: int) -> AlignedPairs:
-    """Map aligned slots -> sorted-pair positions.
+    """Map aligned slots -> sorted-pair positions (gather formulation: no
+    big scatter; per-slot maps come from cummax segment lookups).
 
-    Aligned segments are 128-multiples, so the slot->tile map is constant
-    within each 128-slot chunk: the segment scan runs at CHUNK granularity
-    (A/128 elements — measured 128x cheaper than the original per-slot
-    cummax, which alone cost ~13 ms of the 32 ms forward at A~1.6M), then
-    per-slot values come from [A/128, 128] broadcasting."""
+    Measured caveat (experiments/ab_forward.py, v5e, 100k splats): a
+    chunk-granularity variant (scan over A/128 elements + [A/128,128]
+    broadcasting) looked strictly cheaper in isolation but regressed the
+    END-TO-END forward 29.2 -> 38.2 ms (barriers didn't help) — XLA fuses
+    this per-slot form into the downstream gather better. Tune only
+    against the full forward."""
     list_len = lists.point_list.shape[0]
     A = aligned_capacity(list_len, n_tiles)
     counts = lists.tile_counts
@@ -97,23 +99,15 @@ def build_aligned_pairs(lists: TileLists, n_tiles: int) -> AlignedPairs:
         jnp.zeros(1, jnp.int32),
         jnp.cumsum(aligned_counts)[:-1].astype(jnp.int32)])
 
-    n_chunks = A // 128
-    # chunk -> owning tile: max-scatter tile indices at chunk starts, cummax
-    init = jnp.full((n_chunks,), jnp.iinfo(jnp.int32).min, jnp.int32)
-    markers = init.at[jnp.clip(starts // 128, 0, n_chunks - 1)].max(
-        jnp.arange(n_tiles, dtype=jnp.int32))
-    tile_of_chunk = jnp.maximum(jax.lax.cummax(markers, axis=0), 0)
-    astart_c = jnp.take(starts, tile_of_chunk)              # [A/128]
-    tstart_c = jnp.take(lists.tile_starts, tile_of_chunk)
-    tend_c = tstart_c + jnp.take(counts, tile_of_chunk)
-
-    lane = jnp.arange(128, dtype=jnp.int32)
-    base = jnp.arange(n_chunks, dtype=jnp.int32) * 128
-    rank = base[:, None] + lane[None, :] - astart_c[:, None]
-    src = tstart_c[:, None] + rank
-    valid = src < tend_c[:, None]
-    src = jnp.where(valid, src, list_len).reshape(-1)
-    valid = valid.reshape(-1)
+    slot = jnp.arange(A, dtype=jnp.int32)
+    # per-slot: the aligned start and the sorted start/end of its tile
+    astart_of = _segment_lookup(starts, starts, A)
+    tstart_of = _segment_lookup(starts, lists.tile_starts, A)
+    tend_of = _segment_lookup(starts, lists.tile_starts + counts, A)
+    rank = slot - astart_of
+    src = tstart_of + rank
+    valid = src < tend_of
+    src = jnp.where(valid, src, list_len)
     ids = jnp.where(valid,
                     jnp.take(lists.point_list, jnp.minimum(src, list_len - 1),
                              mode='clip'),

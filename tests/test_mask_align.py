@@ -131,3 +131,40 @@ class TestAlignerEndToEnd:
         assert colors.ndim == 2 and colors.shape[1] == 3
         save_outputs(seg_maps, colors, str(tmp_path))
         assert (tmp_path / "0003_s.npy").exists()
+
+
+class TestColorsRoundTrip:
+    def test_save_outputs_extract_masks_roundtrip(self, tmp_path):
+        """colors.npy carries the background row (post_colors contract,
+        auto-mask-align.py:609-611): painting keyframes with the palette
+        and re-extracting ids via the video preprocessor's nearest-color
+        map must reproduce the original seg ids."""
+        import os
+        from PIL import Image
+        from langscenex_tpu.pipeline import PipelinePaths, VideoPreprocessor
+
+        rng = np.random.default_rng(0)
+        seg = rng.integers(-1, 3, (2, 16, 20)).astype(np.int32)
+        colors = generate_distinct_colors(3)
+        out = tmp_path / "seg"
+        save_outputs(seg, colors, str(out), keyframes=(0, 1))
+
+        pal = np.load(out / "colors.npy")
+        assert pal.shape[0] == 4 and (pal[0] == 0).all()
+
+        # paint frames from seg via the palette, then extract
+        data = tmp_path / "data"
+        frames = data / "frames"
+        os.makedirs(frames)
+        np.save(data / "colors.npy", pal)
+        for t in range(2):
+            img = np.zeros((16, 20, 3), np.uint8)
+            for oid in range(3):
+                img[seg[t] == oid] = pal[oid + 1]
+            Image.fromarray(img).save(frames / f"{t + 1:04d}.png")
+        paths = PipelinePaths(data_path=str(data),
+                              seg_video_path=str(frames))
+        VideoPreprocessor(paths).extract_masks("lang_features_dim3")
+        for t in range(2):
+            got = np.load(data / "lang_features_dim3" / f"{t + 1:04d}_s.npy")
+            np.testing.assert_array_equal(got, seg[t])

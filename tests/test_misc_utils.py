@@ -76,3 +76,50 @@ class TestT5Stub:
         assert out.shape == (3, 226, 64)
         np.testing.assert_allclose(out[0], out[1])
         assert np.abs(out[0] - out[2]).max() > 0
+
+
+class TestConvertCLI:
+    def test_autoencoder_roundtrip(self, tmp_path):
+        """torch ckpt -> convert_cli -> orbax -> restore == direct map."""
+        torch = pytest.importorskip("torch")
+        from langscenex_tpu.convert_cli import main
+        from langscenex_tpu.utils.convert import convert_autoencoder
+
+        tm = torch.nn.ModuleDict()  # build the reference AE layout
+        import sys
+        sys.path.insert(0, str(tmp_path))
+        # reference layout: encoder/decoder ModuleLists of Linear/BN
+        dims_e = [768, 512, 256, 128, 64, 32, 16, 3]
+        enc = []
+        for i in range(len(dims_e) - 1):
+            if i > 0:
+                enc.append(torch.nn.BatchNorm1d(dims_e[i]))
+                enc.append(torch.nn.ReLU())
+            enc.append(torch.nn.Linear(dims_e[i], dims_e[i + 1]))
+        dims_d = [3, 16, 32, 64, 128, 256, 512, 768]
+        dec = []
+        for i in range(len(dims_d) - 1):
+            if i > 0:
+                dec.append(torch.nn.ReLU())
+            dec.append(torch.nn.Linear(dims_d[i], dims_d[i + 1]))
+        model = torch.nn.ModuleDict(
+            {"encoder": torch.nn.ModuleList(enc),
+             "decoder": torch.nn.ModuleList(dec)})
+        ckpt = tmp_path / "ae.pth"
+        torch.save(model.state_dict(), ckpt)
+
+        out = tmp_path / "orbax_ae"
+        rc = main(["--family", "autoencoder", "--input", str(ckpt),
+                   "--output", str(out)])
+        assert rc == 0
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(str(out))
+        direct = convert_autoencoder(
+            {k: v.numpy() for k, v in model.state_dict().items()})
+        import jax
+        for (pa, a), (pb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(restored),
+                       key=str),
+                sorted(jax.tree_util.tree_leaves_with_path(direct),
+                       key=str)):
+            np.testing.assert_allclose(a, b)
