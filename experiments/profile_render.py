@@ -18,17 +18,18 @@ from langscenex_tpu.ops.rasterize_pallas import (
 
 
 def timed(name, make_out, args, n=20):
-    def step(carry, _):
-        a0 = args[0] + carry * 1e-30
-        out = make_out(a0, *args[1:])
-        return jnp.sum(out), None
+    def body(*a):
+        def step(carry, _):
+            out = make_out(a[0] + carry * 1e-30, *a[1:])
+            return jnp.sum(out), None
+        return jax.lax.scan(step, jnp.zeros(()), None, length=n)[0]
 
-    jfn = jax.jit(lambda: jax.lax.scan(step, jnp.zeros(()), None, length=n)[0])
-    float(jfn())
+    jfn = jax.jit(body)
+    float(jfn(*args))
     t0 = time.perf_counter()
-    float(jfn())
+    float(jfn(*args))
     dt = (time.perf_counter() - t0) / n * 1e3
-    print(f"{name:42s} {dt:8.2f} ms")
+    print(f"{name:42s} {dt:8.2f} ms", flush=True)
     return dt
 
 

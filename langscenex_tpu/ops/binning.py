@@ -27,12 +27,22 @@ class TileLists(NamedTuple):
 
 
 def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
-                     max_tiles_per_splat: int = 32) -> TileLists:
+                     max_tiles_per_splat: int = 32,
+                     max_pairs: int | None = None) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
     ``max_tiles_per_splat`` (K) bounds the duplication statically; splats
     whose tile rect exceeds K tiles are truncated in row-major rect order
     (``overflowed`` reports if that happened — raise K if so).
+
+    ``max_pairs`` optionally caps the SORTED pair list: invalid pairs
+    sort to the end (tile key = n_tiles), so slicing the first
+    ``max_pairs`` entries keeps every valid pair as long as
+    num_pairs <= max_pairs (``overflowed`` reports otherwise). All
+    downstream pair-domain work (range lookup, aligned layout, payload
+    gather, blend DMA) scales with this capacity, not with P*K — at the
+    bench scene (100k splats, 941k pairs of 1.6M capacity) capping is a
+    measured end-to-end win (experiments/ab_forward3.py).
     """
     K = max_tiles_per_splat
     n_tiles = grid_x * grid_y
@@ -58,12 +68,17 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     sorted_tile, _, point_list = jax.lax.sort(
         (key_tile, key_depth, splat_id), num_keys=2)
 
+    num_pairs = jnp.sum(valid.astype(jnp.int32))
+    overflowed = jnp.any(proc.tiles_touched > K)
+    if max_pairs is not None and max_pairs < sorted_tile.shape[0]:
+        sorted_tile = sorted_tile[:max_pairs]
+        point_list = point_list[:max_pairs]
+        overflowed = overflowed | (num_pairs > max_pairs)
+
     tile_starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
                                    side='left').astype(jnp.int32)
     tile_ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
                                  side='right').astype(jnp.int32)
-    num_pairs = jnp.sum(valid.astype(jnp.int32))
-    overflowed = jnp.any(proc.tiles_touched > K)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_ends - tile_starts,
                      num_pairs=num_pairs, overflowed=overflowed)

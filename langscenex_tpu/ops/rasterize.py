@@ -46,6 +46,7 @@ class RasterConfig:
     tile_w: int = 128           # lane-aligned tile width
     tile_h: int = 8             # sublane-aligned tile height
     max_tiles_per_splat: int = 32
+    max_pairs: int | None = None   # cap on the sorted pair list (binning)
     chunk: int = 128            # splats blended per scan step
     max_splats_per_tile: int = 4096  # per-tile list truncation (XLA path only)
     use_pallas: Optional[bool] = None  # None = auto (fused kernel on TPU)
@@ -200,7 +201,8 @@ def rasterize(
                       colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
                       scale_modifier=scale_modifier, tile_w=cfg.tile_w,
                       tile_h=cfg.tile_h, mean2d_offset=mean2d_offset)
-    lists = build_tile_lists(proc, grid_x, grid_y, cfg.max_tiles_per_splat)
+    lists = build_tile_lists(proc, grid_x, grid_y, cfg.max_tiles_per_splat,
+                             max_pairs=cfg.max_pairs)
 
     parts = [proc.rgb]
     if language_feature is not None:

@@ -50,7 +50,10 @@ S_CHUNK = 128          # splats per chunk (lane-aligned)
 TILE_H = 8
 TILE_W = 128
 NPX = TILE_H * TILE_W  # 1024 pixels per tile, flattened on the lane axis
-ROWS = 32              # payload rows
+ROWS = 24              # payload rows: 6 geom + 16 channels + 2 pad; the
+                       # bwd packs exactly 24 (6 geom + 16 dch + 2 abs).
+                       # 24 = 3 sublane tiles; vs 32 it cuts gather +
+                       # chunk-DMA traffic 25%
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 LOG_T_EPS = float(np.log(1e-4))
@@ -337,7 +340,12 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
     def _():
         dma_in(0, 0).start()
 
-        def body(ci, prefix_carry):
+        def cond(state):
+            ci, _, all_done = state
+            return (ci < n_chunks) & (all_done < 0.5)
+
+        def body(state):
+            ci, prefix_carry, _ = state
             slot = ci % 2
 
             @pl.when(ci + 1 < n_chunks)
@@ -404,10 +412,10 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             absy = jax.lax.transpose(
                 jnp.sum(jnp.abs(dmy), axis=1, keepdims=True), (1, 0))
 
-            zero = jnp.zeros((ROWS - 22, S_CHUNK), jnp.float32)
-            out_buf[...] = jnp.concatenate(
-                [dxs, dys, da, db, dc, dop_sum, dch, absx, absy,
-                 zero[:ROWS - 24]], axis=0)[None]
+            parts = [dxs, dys, da, db, dc, dop_sum, dch, absx, absy]
+            if ROWS > 24:
+                parts.append(jnp.zeros((ROWS - 24, S_CHUNK), jnp.float32))
+            out_buf[...] = jnp.concatenate(parts, axis=0)[None]
             off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
             odma = pltpu.make_async_copy(
                 out_buf, packed_hbm.at[:, :, pl.ds(off, S_CHUNK)], out_sem)
@@ -417,10 +425,32 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             done_ref[...] = new_done
             new_prefix = prefix_carry + jnp.sum(contrib, axis=0, keepdims=True)
             odma.wait()
-            return new_prefix
+            # early exit mirrors the forward (once every pixel terminated
+            # no later splat has include=1, so its dpay rows are zero)
+            return ci + 1, new_prefix, jnp.min(new_done)
 
-        jax.lax.fori_loop(0, n_chunks, body,
-                          jnp.zeros((1, NPX), jnp.float32))
+        final_ci, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32),
+                         jnp.zeros((1, NPX), jnp.float32),
+                         jnp.zeros(())))
+
+        # retire the in-flight prefetch and zero the skipped chunks' rows
+        # (the packed HBM output is uninitialized)
+        @pl.when(final_ci < n_chunks)
+        def _():
+            dma_in(final_ci % 2, final_ci).wait()
+            out_buf[...] = jnp.zeros_like(out_buf)
+
+            def zbody(ci, _):
+                off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
+                zdma = pltpu.make_async_copy(
+                    out_buf, packed_hbm.at[:, :, pl.ds(off, S_CHUNK)],
+                    out_sem)
+                zdma.start()
+                zdma.wait()
+                return 0
+
+            jax.lax.fori_loop(final_ci, n_chunks, zbody, 0)
 
 
 def _blend_bwd_impl(pay_t, starts, counts, img, gimg,
