@@ -23,9 +23,11 @@ TPU-first: the frame/global attention alternation is two reshapes of one
 token tensor [B*S, T, C] <-> [B, S*T, C] — exactly the layout XLA wants;
 attention is fused jnp einsum (bf16-able via attn_dtype). RoPE is applied
 positionally (special tokens sit at position 0 = identity rotation), so no
-token reordering is ever needed. The whole model jits as one program; the
-track head (unused by the reference pipeline, pose_estimator/__init__.py
-only consumes camera+depth heads) is intentionally not ported.
+token reordering is ever needed. The whole model jits as one program. The
+track head (vggt/heads/track_head.py + models/vggt_track.py, enabled via
+cfg.enable_track_head) runs when query_points are given, matching
+vggt/models/vggt.py:87-93; the reference pipeline's pose path never
+invokes it (pose_estimator/__init__.py consumes camera+depth heads only).
 """
 from __future__ import annotations
 
@@ -68,6 +70,16 @@ class VGGTConfig:
     dpt_out_channels: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
     enable_depth_head: bool = True
     enable_point_head: bool = True
+    # track head (vggt/heads/track_head.py:18-29 defaults)
+    enable_track_head: bool = False
+    track_features: int = 128
+    track_iters: int = 4
+    track_corr_levels: int = 7
+    track_corr_radius: int = 4
+    track_depth: int = 6
+    track_hidden: int = 384
+    track_virtual: int = 64
+    track_num_heads: int = 8
     attn_dtype: jnp.dtype = jnp.float32
 
     @property
@@ -513,6 +525,9 @@ class DPTHead(nn.Module):
     activation: str = "exp"
     conf_activation: str = "expp1"
     pos_embed: bool = True
+    feature_only: bool = False   # track path: stop after output_conv1
+    down_ratio: int = 1          # output resolution divisor (track: 2)
+    features: Optional[int] = None  # override cfg.dpt_features (track: 128)
 
     @nn.compact
     def __call__(self, inter_list: Sequence[jnp.ndarray],
@@ -523,7 +538,8 @@ class DPTHead(nn.Module):
         cfg = self.cfg
         Hp, Wp = patch_hw
         H, W = img_hw
-        feats = cfg.dpt_features
+        feats = self.features if self.features is not None \
+            else cfg.dpt_features
         oc = cfg.dpt_out_channels
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
 
@@ -562,13 +578,18 @@ class DPTHead(nn.Module):
             out, l2, size=l1.shape[1:3])
         out = FeatureFusionBlock(feats, name="refinenet1")(out, l1)
 
-        out = nn.Conv(feats // 2, (3, 3), padding=1,
-                      name="output_conv1")(out)
-        out = resize_bilinear_ac(out, (Hp * cfg.patch_size,
-                                       Wp * cfg.patch_size))
+        # feature_only keeps full width in output_conv1 and returns the
+        # fused features (dpt_head.py:114-118, 243-253)
+        c1 = feats if self.feature_only else feats // 2
+        out = nn.Conv(c1, (3, 3), padding=1, name="output_conv1")(out)
+        out = resize_bilinear_ac(
+            out, (Hp * cfg.patch_size // self.down_ratio,
+                  Wp * cfg.patch_size // self.down_ratio))
         if self.pos_embed:
             out = out + 0.1 * _uv_pos_embed(out.shape[1], out.shape[2],
                                             out.shape[-1], W / H)
+        if self.feature_only:
+            return out.reshape(B, S, *out.shape[1:])
         out = nn.Conv(32, (3, 3), padding=1, name="output_conv2_0")(out)
         out = nn.relu(out)
         out = nn.Conv(self.output_dim, (1, 1), name="output_conv2_2")(out)
@@ -581,14 +602,39 @@ class DPTHead(nn.Module):
 
 # -------------------------------------------------------------- full model
 
+class TrackHead(nn.Module):
+    """vggt/heads/track_head.py:12-108: DPT feature extractor (feature-only,
+    down_ratio 2, no pos embed) + BaseTrackerPredictor refinement."""
+    cfg: VGGTConfig
+
+    @nn.compact
+    def __call__(self, inter_list, patch_hw, img_hw, query_points,
+                 iters: Optional[int] = None):
+        from .vggt_track import BaseTrackerPredictor, TrackConfig
+        tc = TrackConfig(features=self.cfg.track_features,
+                         iters=self.cfg.track_iters,
+                         corr_levels=self.cfg.track_corr_levels,
+                         corr_radius=self.cfg.track_corr_radius,
+                         depth=self.cfg.track_depth,
+                         hidden_size=self.cfg.track_hidden,
+                         num_virtual_tracks=self.cfg.track_virtual,
+                         num_heads=self.cfg.track_num_heads)
+        fmaps = DPTHead(self.cfg, feature_only=True, down_ratio=2,
+                        pos_embed=False, features=tc.features,
+                        name="feature_extractor")(
+            inter_list, patch_hw, img_hw)          # [B,S,h,w,features]
+        return BaseTrackerPredictor(tc, name="tracker")(
+            query_points, fmaps, iters=iters)
+
+
 class VGGT(nn.Module):
     """Full model (vggt/models/vggt.py:18-97): aggregator + camera head +
-    depth head (+ point head). The track head is unused by the reference
-    pipeline and is not ported; the converter drops its keys."""
+    depth head (+ point head, + track head when query_points given)."""
     cfg: VGGTConfig = VGGTConfig()
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray):
+    def __call__(self, images: jnp.ndarray,
+                 query_points: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         inters, patch_hw, ns = Aggregator(cfg, name="aggregator")(images)
         last = inters[cfg.depth - 1]
@@ -607,6 +653,13 @@ class VGGT(nn.Module):
                 dpt_in, patch_hw, images.shape[-2:])
             out["world_points"] = pts
             out["world_points_conf"] = pconf
+        if cfg.enable_track_head and query_points is not None:
+            # vggt/models/vggt.py:87-93: last coord_pred is the output
+            track_list, vis, conf_t = TrackHead(cfg, name="track_head")(
+                dpt_in, patch_hw, images.shape[-2:], query_points)
+            out["track"] = track_list[-1]
+            out["vis"] = vis
+            out["conf"] = conf_t
         return out
 
 

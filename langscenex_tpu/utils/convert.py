@@ -273,22 +273,115 @@ def _vggt_dpt_head(sd: Dict[str, np.ndarray], h: str) -> Dict:
         d[f"refinenet{i}"] = blk
     d["output_conv1"] = t2f_conv(sd[f"{h}.scratch.output_conv1.weight"],
                                  sd[f"{h}.scratch.output_conv1.bias"])
-    d["output_conv2_0"] = t2f_conv(sd[f"{h}.scratch.output_conv2.0.weight"],
-                                   sd[f"{h}.scratch.output_conv2.0.bias"])
-    d["output_conv2_2"] = t2f_conv(sd[f"{h}.scratch.output_conv2.2.weight"],
-                                   sd[f"{h}.scratch.output_conv2.2.bias"])
+    # feature-only heads (track feature extractor) have no output_conv2
+    if f"{h}.scratch.output_conv2.0.weight" in sd:
+        d["output_conv2_0"] = t2f_conv(
+            sd[f"{h}.scratch.output_conv2.0.weight"],
+            sd[f"{h}.scratch.output_conv2.0.bias"])
+        d["output_conv2_2"] = t2f_conv(
+            sd[f"{h}.scratch.output_conv2.2.weight"],
+            sd[f"{h}.scratch.output_conv2.2.bias"])
     return d
 
 
-def convert_vggt(sd: Dict[str, np.ndarray]) -> Dict:
+def _track_attn(sd: Dict, p: str, name: str) -> Dict:
+    """torch nn.MultiheadAttention -> models/vggt_track.MHA (fused
+    in_proj kept verbatim — the flax module applies x @ W[:d].T like
+    F.linear)."""
+    return {"in_proj_weight": np.asarray(sd[f"{p}.in_proj_weight"]),
+            "in_proj_bias": np.asarray(sd[f"{p}.in_proj_bias"]),
+            "out_proj": t2f_linear(sd[f"{p}.out_proj.weight"],
+                                   sd[f"{p}.out_proj.bias"])}
+
+
+def _track_attn_block(sd: Dict, p: str, cross: bool) -> Dict:
+    blk = {"norm1": t2f_layernorm(sd[f"{p}.norm1.weight"],
+                                  sd[f"{p}.norm1.bias"]),
+           "norm2": t2f_layernorm(sd[f"{p}.norm2.weight"],
+                                  sd[f"{p}.norm2.bias"]),
+           "mlp": {"fc1": t2f_linear(sd[f"{p}.mlp.fc1.weight"],
+                                     sd[f"{p}.mlp.fc1.bias"]),
+                   "fc2": t2f_linear(sd[f"{p}.mlp.fc2.weight"],
+                                     sd[f"{p}.mlp.fc2.bias"])}}
+    if cross:
+        blk["norm_context"] = t2f_layernorm(
+            sd[f"{p}.norm_context.weight"], sd[f"{p}.norm_context.bias"])
+        blk["cross_attn"] = _track_attn(sd, f"{p}.cross_attn", "cross_attn")
+    else:
+        blk["attn"] = _track_attn(sd, f"{p}.attn", "attn")
+    return blk
+
+
+def _vggt_track_head(sd: Dict[str, np.ndarray]) -> Dict:
+    """track_head.* keys (vggt/heads/track_head.py + track_modules/*)
+    -> models/vggt.TrackHead params."""
+    t = "track_head.tracker"
+    uf = {"input_norm": t2f_layernorm(
+              sd[f"{t}.updateformer.input_norm.weight"],
+              sd[f"{t}.updateformer.input_norm.bias"]),
+          "input_transform": t2f_linear(
+              sd[f"{t}.updateformer.input_transform.weight"],
+              sd[f"{t}.updateformer.input_transform.bias"]),
+          "output_norm": t2f_layernorm(
+              sd[f"{t}.updateformer.output_norm.weight"],
+              sd[f"{t}.updateformer.output_norm.bias"]),
+          "flow_head": t2f_linear(
+              sd[f"{t}.updateformer.flow_head.weight"],
+              sd[f"{t}.updateformer.flow_head.bias"]),
+          "virual_tracks": np.asarray(
+              sd[f"{t}.updateformer.virual_tracks"])}
+    i = 0
+    while f"{t}.updateformer.time_blocks.{i}.norm1.weight" in sd:
+        uf[f"time_blocks_{i}"] = _track_attn_block(
+            sd, f"{t}.updateformer.time_blocks.{i}", False)
+        i += 1
+    j = 0
+    while f"{t}.updateformer.space_virtual_blocks.{j}.norm1.weight" in sd:
+        uf[f"space_virtual_blocks_{j}"] = _track_attn_block(
+            sd, f"{t}.updateformer.space_virtual_blocks.{j}", False)
+        uf[f"space_point2virtual_blocks_{j}"] = _track_attn_block(
+            sd, f"{t}.updateformer.space_point2virtual_blocks.{j}", True)
+        uf[f"space_virtual2point_blocks_{j}"] = _track_attn_block(
+            sd, f"{t}.updateformer.space_virtual2point_blocks.{j}", True)
+        j += 1
+
+    tracker = {
+        "updateformer": uf,
+        "fmap_norm": t2f_layernorm(sd[f"{t}.fmap_norm.weight"],
+                                   sd[f"{t}.fmap_norm.bias"]),
+        # GroupNorm(1, C) == LayerNorm over C (same formula, eps 1e-5)
+        "ffeat_norm": t2f_layernorm(sd[f"{t}.ffeat_norm.weight"],
+                                    sd[f"{t}.ffeat_norm.bias"]),
+        "corr_mlp": {"fc1": t2f_linear(sd[f"{t}.corr_mlp.fc1.weight"],
+                                       sd[f"{t}.corr_mlp.fc1.bias"]),
+                     "fc2": t2f_linear(sd[f"{t}.corr_mlp.fc2.weight"],
+                                       sd[f"{t}.corr_mlp.fc2.bias"])},
+        "ffeat_updater_0": t2f_linear(sd[f"{t}.ffeat_updater.0.weight"],
+                                      sd[f"{t}.ffeat_updater.0.bias"]),
+        "vis_predictor_0": t2f_linear(sd[f"{t}.vis_predictor.0.weight"],
+                                      sd[f"{t}.vis_predictor.0.bias"]),
+        "query_ref_token": np.asarray(sd[f"{t}.query_ref_token"]),
+    }
+    if f"{t}.conf_predictor.0.weight" in sd:
+        tracker["conf_predictor_0"] = t2f_linear(
+            sd[f"{t}.conf_predictor.0.weight"],
+            sd[f"{t}.conf_predictor.0.bias"])
+    return {"feature_extractor": _vggt_dpt_head(
+                sd, "track_head.feature_extractor"),
+            "tracker": tracker}
+
+
+def convert_vggt(sd: Dict[str, np.ndarray],
+                 include_track: bool = False) -> Dict:
     """facebook/VGGT-1B state_dict (vggt/models/vggt.py:18-26 layout:
     aggregator{patch_embed=DINOv2 ViT-L/14-reg, frame_blocks, global_blocks,
-    camera_token, register_token}, camera_head, depth_head, point_head)
-    -> flax params for models/vggt.VGGT.
+    camera_token, register_token}, camera_head, depth_head, point_head,
+    track_head) -> flax params for models/vggt.VGGT.
 
-    The track head is not ported (unused by the reference pipeline —
-    pose_estimator/__init__.py:227-294 consumes only camera+depth heads);
-    its keys and the DINOv2 mask_token are dropped.
+    ``include_track`` emits the track_head subtree (only load it into a
+    model with cfg.enable_track_head=True — flax apply is strict about
+    extra params; the pipeline's pose path never needs it). The DINOv2
+    mask_token is dropped (unused buffer).
     Numerically validated against a random-init torch mirror in
     tests/test_vggt.py::TestVGGTConversion."""
     agg = {}
@@ -345,6 +438,8 @@ def convert_vggt(sd: Dict[str, np.ndarray]) -> Dict:
         p["depth_head"] = _vggt_dpt_head(sd, "depth_head")
     if "point_head.norm.weight" in sd:
         p["point_head"] = _vggt_dpt_head(sd, "point_head")
+    if include_track and "track_head.tracker.fmap_norm.weight" in sd:
+        p["track_head"] = _vggt_track_head(sd)
     return {"params": p}
 
 

@@ -197,3 +197,85 @@ class TestVGGTConversion:
         shapes_c = {jax.tree_util.keystr(p): np.shape(v) for p, v in flat_c}
         shapes_i = {jax.tree_util.keystr(p): np.shape(v) for p, v in flat_i}
         assert shapes_c == shapes_i
+
+
+class TestTrackHead:
+    """Track head (vggt/heads/track_head.py): converter numeric parity vs
+    the torch mirror + behavior checks."""
+
+    def _tiny(self):
+        import torch
+        from torch_vggt_mirror import TrackHeadMirror
+        torch.manual_seed(3)
+        # dim_in=2C=64, patch 14, layers over 2 inters, oc 16, f=8
+        return TrackHeadMirror(dim_in=64, patch=14, layers=(0, 0, 1, 1),
+                               oc=(16, 16, 16, 16), f=8, hidden=16,
+                               depth=2, levels=2, radius=1, iters=2,
+                               heads=2, n_virtual=3).eval()
+
+    def test_converter_matches_torch(self):
+        import torch
+        from langscenex_tpu.models.vggt import TrackHead
+        from langscenex_tpu.utils.convert import _vggt_track_head
+
+        tm = self._tiny()
+        sd = {f"track_head.{k}": np.asarray(v)
+              for k, v in tm.state_dict().items()}
+        params = _vggt_track_head(sd)
+
+        cfg = VGGTConfig(img_size=28, patch_size=14, embed_dim=32,
+                         depth=2, num_heads=2,
+                         intermediate_layers=(0, 0, 1, 1),
+                         dpt_features=8, dpt_out_channels=(16, 16, 16, 16),
+                         enable_track_head=True, track_features=8,
+                         track_iters=2, track_corr_levels=2,
+                         track_corr_radius=1, track_depth=2,
+                         track_hidden=16, track_virtual=3,
+                         track_num_heads=2)
+        rng = np.random.default_rng(0)
+        B, S, Hp, Wp = 1, 3, 2, 4
+        inters = [rng.normal(size=(B, S, Hp * Wp, 64)).astype(np.float32)
+                  for _ in range(2)]
+        q = np.array([[[6.0, 9.0], [20.0, 14.0]]], np.float32)
+        with torch.no_grad():
+            t_int = [torch.from_numpy(
+                np.concatenate([np.zeros((B, S, 1, 64), np.float32), x],
+                               axis=2)) for x in inters]
+            imgs = torch.zeros(B, S, 3, Hp * 14, Wp * 14)
+            preds, vis, conf = tm(t_int, imgs, 1, torch.from_numpy(q))
+
+        head = TrackHead(cfg)
+        flax_in = [jnp.asarray(x) for x in (inters[0], inters[0],
+                                            inters[1], inters[1])]
+        out_preds, out_vis, out_conf = head.apply(
+            {"params": params}, flax_in, (Hp, Wp), (Hp * 14, Wp * 14),
+            jnp.asarray(q))
+        np.testing.assert_allclose(np.asarray(out_preds[-1]),
+                                   preds[-1].numpy(), atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_vis), vis.numpy(),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out_conf), conf.numpy(),
+                                   atol=5e-4)
+
+    def test_full_model_track_output(self):
+        cfg = VGGTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2,
+                         num_heads=2, num_register_tokens=2,
+                         vit_embed_dim=32, vit_depth=2, vit_num_heads=2,
+                         camera_trunk_depth=1, camera_iterations=2,
+                         intermediate_layers=(0, 0, 1, 1),
+                         dpt_features=16, dpt_out_channels=(16, 16, 16, 16),
+                         enable_point_head=False, enable_track_head=True,
+                         track_features=16, track_iters=2,
+                         track_corr_levels=2, track_corr_radius=2,
+                         track_depth=2, track_hidden=32, track_virtual=4,
+                         track_num_heads=2)
+        m = VGGT(cfg)
+        imgs = jnp.zeros((1, 3, 3, 28, 42))
+        qp = jnp.asarray([[[5.0, 6.0], [10.0, 12.0]]])
+        params = m.init(jax.random.PRNGKey(0), imgs, qp)
+        out = m.apply(params, imgs, qp)
+        assert out["track"].shape == (1, 3, 2, 2)
+        assert out["vis"].shape == (1, 3, 2)
+        # frame 0 pinned to the query points (:186-189)
+        np.testing.assert_allclose(np.asarray(out["track"][0, 0]),
+                                   [[5, 6], [10, 12]], atol=1e-4)

@@ -368,3 +368,292 @@ class VGGTMirror(nn.Module):
         return {"pose_enc": pose, "depth": depth[..., 0],
                 "depth_conf": dconf, "world_points": pts,
                 "world_points_conf": pconf}
+
+
+# ----------------------------------------------------------- track head
+# (vggt/heads/track_head.py + track_modules/* semantics, fresh impl with
+# checkpoint-layout state_dict keys)
+
+class FeatureScratch(nn.Module):
+    def __init__(self, oc, f):
+        super().__init__()
+        self.layer1_rn = nn.Conv2d(oc[0], f, 3, padding=1, bias=False)
+        self.layer2_rn = nn.Conv2d(oc[1], f, 3, padding=1, bias=False)
+        self.layer3_rn = nn.Conv2d(oc[2], f, 3, padding=1, bias=False)
+        self.layer4_rn = nn.Conv2d(oc[3], f, 3, padding=1, bias=False)
+        self.refinenet1 = FeatureFusionBlock(f)
+        self.refinenet2 = FeatureFusionBlock(f)
+        self.refinenet3 = FeatureFusionBlock(f)
+        self.refinenet4 = FeatureFusionBlock(f, has_residual=False)
+        self.output_conv1 = nn.Conv2d(f, f, 3, padding=1)
+
+
+class FeatureDPT(nn.Module):
+    """DPT feature extractor: feature_only=True, down_ratio=2, no pos."""
+
+    def __init__(self, dim_in, patch, layers, oc, f):
+        super().__init__()
+        self.norm = nn.LayerNorm(dim_in)
+        self.projects = nn.ModuleList(
+            [nn.Conv2d(dim_in, o, 1) for o in oc])
+        self.resize_layers = nn.ModuleList([
+            nn.ConvTranspose2d(oc[0], oc[0], 4, stride=4),
+            nn.ConvTranspose2d(oc[1], oc[1], 2, stride=2),
+            nn.Identity(),
+            nn.Conv2d(oc[3], oc[3], 3, stride=2, padding=1)])
+        self.scratch = FeatureScratch(oc, f)
+        self.layers = layers
+        self.patch = patch
+
+    def forward(self, inters, images, ns):
+        B, S, _, H, W = images.shape
+        Hp, Wp = H // self.patch, W // self.patch
+        outs = []
+        for j, li in enumerate(self.layers):
+            x = inters[li][:, :, ns:].reshape(B * S, Hp * Wp, -1)
+            x = self.norm(x)
+            x = x.permute(0, 2, 1).reshape(B * S, -1, Hp, Wp)
+            x = self.projects[j](x)
+            x = self.resize_layers[j](x)
+            outs.append(x)
+        l1 = self.scratch.layer1_rn(outs[0])
+        l2 = self.scratch.layer2_rn(outs[1])
+        l3 = self.scratch.layer3_rn(outs[2])
+        l4 = self.scratch.layer4_rn(outs[3])
+        o = self.scratch.refinenet4(l4, size=l3.shape[2:])
+        o = self.scratch.refinenet3(o, l3, size=l2.shape[2:])
+        o = self.scratch.refinenet2(o, l2, size=l1.shape[2:])
+        o = self.scratch.refinenet1(o, l1)
+        o = self.scratch.output_conv1(o)
+        o = F.interpolate(o, size=(Hp * self.patch // 2,
+                                   Wp * self.patch // 2),
+                          mode="bilinear", align_corners=True)
+        return o.reshape(B, S, *o.shape[1:])
+
+
+class TMlp(nn.Module):
+    def __init__(self, d_in, hidden, out):
+        super().__init__()
+        self.fc1 = nn.Linear(d_in, hidden)
+        self.fc2 = nn.Linear(hidden, out)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class TAttnBlock(nn.Module):
+    def __init__(self, d, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d)
+        self.norm2 = nn.LayerNorm(d)
+        self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.mlp = TMlp(d, int(d * mlp_ratio), d)
+
+    def forward(self, x):
+        x = self.norm1(x)
+        x = x + self.attn(x, x, x)[0]
+        return x + self.mlp(self.norm2(x))
+
+
+class TCrossAttnBlock(nn.Module):
+    def __init__(self, d, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d)
+        self.norm_context = nn.LayerNorm(d)
+        self.norm2 = nn.LayerNorm(d)
+        self.cross_attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.mlp = TMlp(d, int(d * mlp_ratio), d)
+
+    def forward(self, x, ctx):
+        x = self.norm1(x)
+        ctx = self.norm_context(ctx)
+        x = x + self.cross_attn(x, ctx, ctx)[0]
+        return x + self.mlp(self.norm2(x))
+
+
+class UpdateFormerMirror(nn.Module):
+    def __init__(self, depth, d_in, hidden, out, heads=8, n_virtual=64):
+        super().__init__()
+        self.input_norm = nn.LayerNorm(d_in)
+        self.input_transform = nn.Linear(d_in, hidden)
+        self.output_norm = nn.LayerNorm(hidden)
+        self.flow_head = nn.Linear(hidden, out)
+        self.virual_tracks = nn.Parameter(
+            torch.randn(1, n_virtual, 1, hidden))
+        self.time_blocks = nn.ModuleList(
+            [TAttnBlock(hidden, heads) for _ in range(depth)])
+        self.space_virtual_blocks = nn.ModuleList(
+            [TAttnBlock(hidden, heads) for _ in range(depth)])
+        self.space_point2virtual_blocks = nn.ModuleList(
+            [TCrossAttnBlock(hidden, heads) for _ in range(depth)])
+        self.space_virtual2point_blocks = nn.ModuleList(
+            [TCrossAttnBlock(hidden, heads) for _ in range(depth)])
+        self.n_virtual = n_virtual
+
+    def forward(self, x):
+        x = self.input_norm(x)
+        tokens = self.input_transform(x)
+        init_tokens = tokens
+        B, _, T, _ = tokens.shape
+        virt = self.virual_tracks.repeat(B, 1, T, 1)
+        tokens = torch.cat([tokens, virt], dim=1)
+        _, N, _, _ = tokens.shape
+        j = 0
+        for i in range(len(self.time_blocks)):
+            t = tokens.reshape(B * N, T, -1)
+            t = self.time_blocks[i](t)
+            tokens = t.reshape(B, N, T, -1)
+            sp = tokens.permute(0, 2, 1, 3).reshape(B * T, N, -1)
+            pts = sp[:, :N - self.n_virtual]
+            vt = sp[:, N - self.n_virtual:]
+            vt = self.space_virtual2point_blocks[j](vt, pts)
+            vt = self.space_virtual_blocks[j](vt)
+            pts = self.space_point2virtual_blocks[j](pts, vt)
+            sp = torch.cat([pts, vt], dim=1)
+            tokens = sp.reshape(B, T, N, -1).permute(0, 2, 1, 3)
+            j += 1
+        tokens = tokens[:, :N - self.n_virtual] + init_tokens
+        return self.flow_head(self.output_norm(tokens))
+
+
+def t_bilinear(img, xy):
+    """img [M,1,H,W], xy [M,h,w,2] pixel coords (align_corners=True),
+    zeros padding."""
+    H, W = img.shape[-2:]
+    gx = 2 * xy[..., 0] / max(W - 1, 1) - 1
+    gy = 2 * xy[..., 1] / max(H - 1, 1) - 1
+    grid = torch.stack([gx, gy], dim=-1)
+    return F.grid_sample(img, grid, mode="bilinear", align_corners=True,
+                         padding_mode="zeros")
+
+
+def t_2d_embedding(xy, C):
+    div = (torch.arange(0, C, 2, dtype=torch.float32) * (1000.0 / C))
+    pe = []
+    for v in (xy[..., 0], xy[..., 1]):
+        s = torch.sin(v[..., None] * div)
+        c = torch.cos(v[..., None] * div)
+        pe.append(torch.stack([s, c], dim=-1).reshape(*v.shape, C))
+    return torch.cat(pe, dim=-1)
+
+
+def t_sincos_grid(dim, HH, WW):
+    import numpy as _np
+    def axis(pos, d):
+        omega = 1.0 / (10000.0 ** (_np.arange(d // 2, dtype=_np.float64)
+                                   / (d / 2.0)))
+        out = pos.reshape(-1)[:, None] * omega[None]
+        return _np.concatenate([_np.sin(out), _np.cos(out)], axis=1)
+    gx, gy = _np.meshgrid(_np.arange(WW, dtype=_np.float32),
+                          _np.arange(HH, dtype=_np.float32), indexing="xy")
+    emb = _np.concatenate([axis(gx, dim // 2), axis(gy, dim // 2)], axis=1)
+    return torch.from_numpy(emb.reshape(HH, WW, dim)).float()
+
+
+class TrackerMirror(nn.Module):
+    def __init__(self, latent, hidden, depth, levels, radius, iters,
+                 heads=8, n_virtual=64, stride=2, max_scale=518.0):
+        super().__init__()
+        self.latent, self.levels, self.radius = latent, levels, radius
+        self.iters, self.stride, self.max_scale = iters, stride, max_scale
+        tdim = 3 * latent + 4
+        self.tdim = tdim
+        self.corr_mlp = TMlp(levels * (2 * radius + 1) ** 2, hidden, latent)
+        self.query_ref_token = nn.Parameter(torch.randn(1, 2, tdim))
+        self.updateformer = UpdateFormerMirror(
+            depth, tdim, hidden, latent + 2, heads, n_virtual)
+        self.fmap_norm = nn.LayerNorm(latent)
+        self.ffeat_norm = nn.GroupNorm(1, latent)
+        self.ffeat_updater = nn.Sequential(nn.Linear(latent, latent),
+                                           nn.GELU())
+        self.vis_predictor = nn.Sequential(nn.Linear(latent, 1))
+        self.conf_predictor = nn.Sequential(nn.Linear(latent, 1))
+
+    def forward(self, query_points, fmaps):
+        B, S, C, HH, WW = fmaps.shape
+        N = query_points.shape[1]
+        fmaps = self.fmap_norm(
+            fmaps.permute(0, 1, 3, 4, 2)).permute(0, 1, 4, 2, 3)
+        qp = query_points / float(self.stride)
+        coords = qp.reshape(B, 1, N, 2).repeat(1, S, 1, 1)
+        backup = coords.clone()
+
+        qfeat = t_bilinear(
+            fmaps[:, 0].reshape(B, C, HH, WW),
+            coords[:, 0].reshape(B, 1, N, 2)).reshape(B, C, N
+                                                      ).permute(0, 2, 1)
+        track_feats = qfeat.unsqueeze(1).repeat(1, S, 1, 1)
+
+        pyr = [fmaps]
+        cur = fmaps
+        for _ in range(self.levels - 1):
+            b, s, c, h, w = cur.shape
+            cur = F.avg_pool2d(cur.reshape(b * s, c, h, w), 2, 2)
+            cur = cur.reshape(b, s, c, *cur.shape[-2:])
+            pyr.append(cur)
+
+        pos_grid = t_sincos_grid(self.tdim, HH, WW).permute(2, 0, 1)[None]
+        pos_q = t_bilinear(
+            pos_grid.expand(B, -1, -1, -1).reshape(B, self.tdim, HH, WW),
+            coords[:, 0].reshape(B, 1, N, 2)).reshape(B, self.tdim, N
+                                                      ).permute(0, 2, 1)
+
+        r = self.radius
+        d1 = torch.arange(-r, r + 1, dtype=torch.float32)
+        dy, dx = torch.meshgrid(d1, d1, indexing="ij")
+        delta = torch.stack([dx, dy], dim=-1)
+
+        preds = []
+        for _ in range(self.iters):
+            coords = coords.detach()
+            outs = []
+            for i, fm in enumerate(pyr):
+                b, s, c, h, w = fm.shape
+                corr = torch.einsum(
+                    "bsnc,bschw->bsnhw", track_feats, fm) / math.sqrt(c)
+                cl = coords / (2.0 ** i)
+                pts = cl[:, :, :, None, None, :] + delta[None, None, None]
+                samp = t_bilinear(
+                    corr.reshape(B * S * N, 1, h, w),
+                    pts.reshape(B * S * N, 2 * r + 1, 2 * r + 1, 2))
+                outs.append(samp.reshape(B, S, N, -1))
+            fcorrs = self.corr_mlp(torch.cat(outs, dim=-1))
+
+            flows = coords - coords[:, 0:1]
+            femb = t_2d_embedding(flows, self.latent // 2)
+            femb = torch.cat([femb, flows / self.max_scale,
+                              flows / self.max_scale], dim=-1)
+            x = torch.cat([femb, fcorrs, track_feats], dim=-1)
+            x = x + pos_q[:, None]
+            ref = torch.cat(
+                [self.query_ref_token[:, 0:1],
+                 self.query_ref_token[:, 1:2].expand(-1, S - 1, -1)],
+                dim=1)
+            x = x + ref[:, :, None]
+            x = x.permute(0, 2, 1, 3)                     # B N S D
+            delta_out = self.updateformer(x).permute(0, 2, 1, 3)
+            dc, df = delta_out[..., :2], delta_out[..., 2:]
+            tf = track_feats.reshape(-1, self.latent)
+            dff = df.reshape(-1, self.latent)
+            tf = self.ffeat_updater(self.ffeat_norm(dff)) + tf
+            track_feats = tf.reshape(B, S, N, self.latent)
+            coords = coords + dc
+            coords[:, 0] = backup[:, 0]
+            preds.append(coords * self.stride)
+
+        vis = torch.sigmoid(self.vis_predictor(track_feats)[..., 0])
+        conf = torch.sigmoid(self.conf_predictor(track_feats)[..., 0])
+        return preds, vis, conf
+
+
+class TrackHeadMirror(nn.Module):
+    def __init__(self, dim_in, patch, layers, oc, f, hidden, depth,
+                 levels, radius, iters, heads=8, n_virtual=64):
+        super().__init__()
+        self.feature_extractor = FeatureDPT(dim_in, patch, layers, oc, f)
+        self.tracker = TrackerMirror(f, hidden, depth, levels, radius,
+                                     iters, heads, n_virtual)
+
+    def forward(self, inters, images, ns, query_points):
+        fmaps = self.feature_extractor(inters, images, ns)
+        return self.tracker(query_points, fmaps)
