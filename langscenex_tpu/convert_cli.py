@@ -28,7 +28,7 @@ import os
 import numpy as np
 
 FAMILIES = ("sam1", "sam2", "vggt", "dit", "vae", "lpips", "autoencoder",
-            "clip")
+            "clip", "clip_text")
 
 
 def load_state_dict(path: str):
@@ -60,6 +60,7 @@ def convert(family: str, sd):
         "lpips": C.convert_lpips_vgg,
         "autoencoder": C.convert_autoencoder,
         "clip": C.convert_clip_vision,
+        "clip_text": C.convert_clip_text,
     }[family]
     return fn(sd)
 

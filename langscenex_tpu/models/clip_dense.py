@@ -54,10 +54,11 @@ def quick_gelu(x):
 
 
 class CLIPAttention(nn.Module):
-    cfg: CLIPVisionConfig
+    cfg: "CLIPVisionConfig"
 
     @nn.compact
-    def __call__(self, x, identity_attn: bool = False):
+    def __call__(self, x, identity_attn: bool = False,
+                 causal: bool = False):
         c = self.cfg
         v = nn.Dense(c.hidden_size, name="v_proj")(x)
         if identity_attn:
@@ -69,20 +70,27 @@ class CLIPAttention(nn.Module):
             B, T, _ = x.shape
             split = lambda t: t.reshape(B, T, c.num_heads, c.head_dim)
             attn = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k))
-            attn = jax.nn.softmax(attn * (c.head_dim ** -0.5), axis=-1)
+            attn = attn * (c.head_dim ** -0.5)
+            if causal:
+                i = jnp.arange(T)[:, None]
+                j = jnp.arange(T)[None, :]
+                attn = jnp.where(j <= i, attn, -1e9)
+            attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, split(v))
             out = out.reshape(B, T, c.hidden_size)
         return nn.Dense(c.hidden_size, name="out_proj")(out)
 
 
 class CLIPBlock(nn.Module):
-    cfg: CLIPVisionConfig
+    cfg: "CLIPVisionConfig"
 
     @nn.compact
-    def __call__(self, x, identity_attn: bool = False):
+    def __call__(self, x, identity_attn: bool = False,
+                 causal: bool = False):
         c = self.cfg
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm1")(x)
-        x = x + CLIPAttention(c, name="self_attn")(h, identity_attn)
+        x = x + CLIPAttention(c, name="self_attn")(h, identity_attn,
+                                                   causal)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm2")(x)
         h = nn.Dense(c.intermediate_size, name="fc1")(h)
         h = quick_gelu(h)
@@ -140,6 +148,60 @@ class CLIPVisionDense(nn.Module):
         pooled = proj(post(x_cls[:, 0]))
         dense = proj(post(x_dense[:, 1:]))
         return pooled, dense.reshape(B, gh, gw, c.projection_dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_positions: int = 77
+    projection_dim: int = 768
+    eos_token_id: int = 49407
+    layer_norm_eps: float = 1e-5
+
+    def vision_like(self) -> CLIPVisionConfig:
+        """Block config shim: text blocks share the vision block layout."""
+        return CLIPVisionConfig(
+            hidden_size=self.hidden_size,
+            intermediate_size=self.intermediate_size,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            projection_dim=self.projection_dim,
+            layer_norm_eps=self.layer_norm_eps)
+
+
+class CLIPTextEncoder(nn.Module):
+    """CLIP text tower (HF CLIPTextModelWithProjection layout): causal
+    transformer, final LN, EOS-token pooling, text projection. Open-vocab
+    queries embed through this into the same space as the dense vision
+    features (the LangScene-X paper's mIoU protocol embeds query text with
+    CLIP; the repo itself ships no eval — SURVEY §3.5)."""
+    cfg: CLIPTextConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray):
+        """input_ids [B, T] int32 -> pooled [B, projection_dim]."""
+        c = self.cfg
+        tok = nn.Embed(c.vocab_size, c.hidden_size,
+                       name="token_embedding")(input_ids)
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.02),
+                         (c.max_positions, c.hidden_size))
+        T = input_ids.shape[1]
+        x = tok + pos[None, :T]
+        blk_cfg = c.vision_like()
+        for i in range(c.num_layers):
+            x = CLIPBlock(blk_cfg, name=f"layers_{i}")(x, causal=True)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                         name="final_layer_norm")(x)
+        # pool at the (first) EOS token position
+        eos_pos = jnp.argmax(
+            (input_ids == c.eos_token_id).astype(jnp.int32), axis=1)
+        pooled = x[jnp.arange(x.shape[0]), eos_pos]
+        return nn.Dense(c.projection_dim, use_bias=False,
+                        name="text_projection")(pooled)
 
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)

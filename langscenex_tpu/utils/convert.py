@@ -873,6 +873,42 @@ def convert_clip_vision(sd: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
+def convert_clip_text(sd: Dict[str, np.ndarray]) -> Dict:
+    """HF ``CLIPTextModelWithProjection`` state_dict -> flax params for
+    models/clip_dense.CLIPTextEncoder. Verified numerically vs torch in
+    tests/test_clip_dense.py."""
+    pre = "text_model."
+    out = {
+        "token_embedding": {"embedding": np.asarray(
+            sd[pre + "embeddings.token_embedding.weight"])},
+        "position_embedding": np.asarray(
+            sd[pre + "embeddings.position_embedding.weight"]),
+        "final_layer_norm": t2f_layernorm(
+            sd[pre + "final_layer_norm.weight"],
+            sd[pre + "final_layer_norm.bias"]),
+        "text_projection": t2f_linear(sd["text_projection.weight"]),
+    }
+    i = 0
+    while f"{pre}encoder.layers.{i}.layer_norm1.weight" in sd:
+        lp = f"{pre}encoder.layers.{i}."
+        out[f"layers_{i}"] = {
+            "layer_norm1": t2f_layernorm(sd[lp + "layer_norm1.weight"],
+                                         sd[lp + "layer_norm1.bias"]),
+            "layer_norm2": t2f_layernorm(sd[lp + "layer_norm2.weight"],
+                                         sd[lp + "layer_norm2.bias"]),
+            "self_attn": {
+                name: t2f_linear(sd[lp + f"self_attn.{name}.weight"],
+                                 sd[lp + f"self_attn.{name}.bias"])
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "fc1": t2f_linear(sd[lp + "mlp.fc1.weight"],
+                              sd[lp + "mlp.fc1.bias"]),
+            "fc2": t2f_linear(sd[lp + "mlp.fc2.weight"],
+                              sd[lp + "mlp.fc2.bias"]),
+        }
+        i += 1
+    return out
+
+
 def walk_assign(tree: Dict, path: str, value) -> None:
     """Assign value at a '/'-separated path, creating nested dicts."""
     parts = path.split("/")

@@ -114,3 +114,75 @@ def test_stage3_integration(tmp_path, pair):
                            trainer=trainer, num_epochs=2)
     f = np.load(data / "lang_features_dim3" / "0001_f.npy")
     assert f.shape[-2:] == (H, W) and np.all(np.isfinite(f))
+
+
+class TestClipText:
+    def test_text_encoder_matches_torch(self):
+        from langscenex_tpu.models.clip_dense import (CLIPTextConfig,
+                                                      CLIPTextEncoder)
+        from langscenex_tpu.utils.convert import convert_clip_text
+        tcfg = transformers.CLIPTextConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, vocab_size=99,
+            max_position_embeddings=16, projection_dim=16,
+            eos_token_id=98, bos_token_id=97, pad_token_id=0)
+        torch.manual_seed(1)
+        tm = transformers.CLIPTextModelWithProjection(tcfg).eval()
+        params = convert_clip_text(
+            {k: np.asarray(v) for k, v in tm.state_dict().items()})
+        cfg = CLIPTextConfig(vocab_size=99, hidden_size=32,
+                             intermediate_size=64, num_layers=2,
+                             num_heads=4, max_positions=16,
+                             projection_dim=16, eos_token_id=98)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, 97, (2, 16)).astype(np.int32)
+        ids[0, 7] = 98
+        ids[1, 12] = 98
+        with torch.no_grad():
+            ref = tm(input_ids=torch.from_numpy(ids.astype(np.int64))
+                     ).text_embeds.numpy()
+        out = CLIPTextEncoder(cfg).apply({"params": params}, ids)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+class TestOpenVocab:
+    def test_miou_protocol_chain(self):
+        """text codes -> relevancy -> masks -> mIoU on a synthetic scene
+        where features equal the query codes exactly."""
+        from langscenex_tpu.eval.open_vocab import (eval_open_vocab,
+                                                    iou_per_query,
+                                                    predict_masks,
+                                                    relevancy_maps)
+        rng = np.random.default_rng(0)
+        codes = rng.normal(size=(3, 3)).astype(np.float32)
+        codes /= np.linalg.norm(codes, axis=-1, keepdims=True)
+        H, W = 12, 16
+        gt = np.full((H, W), -1, np.int32)
+        gt[:6, :8] = 0
+        gt[6:, :8] = 1
+        gt[:, 12:] = 2
+        lang = np.zeros((3, H, W), np.float32)
+        for q in range(3):
+            lang[:, gt == q] = codes[q][:, None]
+        res = eval_open_vocab([lang], [gt], codes, threshold=0.5)
+        assert res["miou"] > 0.99 and res["acc"] == 1.0
+        # degraded features still localize
+        noisy = lang + 0.1 * rng.normal(size=lang.shape).astype(np.float32)
+        res2 = eval_open_vocab([noisy], [gt], codes, threshold=0.3)
+        assert res2["miou"] > 0.5
+
+    def test_ae_roundtrip_queries(self):
+        """CLIP-space queries survive the scene AE compression well enough
+        to separate: AE-encoded codes of distinct rows stay distinct."""
+        from langscenex_tpu.eval.open_vocab import encode_queries_to_lang3
+        from langscenex_tpu.train.ae import AETrainer
+        rng = np.random.default_rng(1)
+        rows = rng.normal(size=(40, 16)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=-1, keepdims=True)
+        tr = AETrainer(input_dim=16)
+        tr.fit(rows, num_epochs=30, batch_size=16)
+        codes = encode_queries_to_lang3(rows[:3], tr)
+        assert codes.shape == (3, 3)
+        n = codes / np.linalg.norm(codes, axis=-1, keepdims=True)
+        cos = n @ n.T
+        assert cos[0, 1] < 0.999 and cos[0, 2] < 0.999
