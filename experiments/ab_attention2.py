@@ -124,3 +124,62 @@ if __name__ == "__main__":
           lambda q, k, v: flash_exp2(q, k, v), 18432)
     timed("current bq2048 bk1024 T=17776",
           lambda q, k, v: flash_attention(q, k, v, block_q=2048), 17776)
+
+
+def _exp2_bf16_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    # exp2 evaluated in bf16 (2 lanes/ALU); stats stay f32
+    p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+    alpha = jnp.exp2(m_prev - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(
+        p.astype(jnp.float32), axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def flash_exp2_bf16(q, k, v, block_q=1024, block_k=1024):
+    Bq, Hq, T, Dd = q.shape
+    scale = LOG2E / math.sqrt(Dd)
+    q = q * jnp.asarray(scale, q.dtype)
+    qp = q.reshape(Bq * Hq, T, Dd)
+    kp = k.reshape(Bq * Hq, T, Dd)
+    vp = v.reshape(Bq * Hq, T, Dd)
+    out = pl.pallas_call(
+        _exp2_bf16_kernel,
+        grid=(Bq * Hq, T // block_q, T // block_k),
+        in_specs=[pl.BlockSpec((1, block_q, Dd), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, block_k, Dd), lambda b, i, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, block_k, Dd), lambda b, i, j: (b, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, block_q, Dd), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bq * Hq, T, Dd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, 1), jnp.float32),
+                        pltpu.VMEM((block_q, 1), jnp.float32),
+                        pltpu.VMEM((block_q, Dd), jnp.float32)],
+    )(qp, kp, vp)
+    return out.reshape(Bq, Hq, T, Dd)
+
+
+if __name__ == "__main__" and False:
+    pass

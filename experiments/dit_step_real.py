@@ -23,17 +23,19 @@ rng = np.random.default_rng(0)
 
 
 def init_bf16():
-    # init on CPU host then push as bf16 (f32 on device would exceed HBM)
-    lat = jnp.zeros((1, F, 2 * C, Hl, Wl), jnp.bfloat16)
-    txt = jnp.zeros((1, TXT, cfg.text_embed_dim), jnp.bfloat16)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = jax.jit(
-            lambda: model.init(jax.random.PRNGKey(0), lat, txt,
-                               jnp.zeros((1,), jnp.int32)))()
+    # eval_shape gives the tree structure with zero compute; zero bf16
+    # leaves are timing-equivalent (the MXU does not skip zeros) and
+    # avoid a single-core 5.57B CPU init
+    lat = jax.ShapeDtypeStruct((1, F, 2 * C, Hl, Wl), jnp.bfloat16)
+    txt = jax.ShapeDtypeStruct((1, TXT, cfg.text_embed_dim), jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda l, x: model.init(jax.random.PRNGKey(0), l, x,
+                                jnp.zeros((1,), jnp.int32)), lat, txt)
+    dev = jax.devices()[0]
     params = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x.astype(jnp.bfloat16)
-                                 if x.dtype == jnp.float32 else x,
-                                 jax.devices()[0]), params)
+        lambda s: jax.device_put(
+            jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32
+                      else s.dtype), dev), shapes)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n/1e9:.2f}B", flush=True)
     return params

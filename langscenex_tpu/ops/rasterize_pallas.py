@@ -9,12 +9,13 @@ formulation proven equivalent in rasterize.py.
 
 TPU mapping:
   - a tile is 8x128 pixels, flattened to 1024 lanes per row vector
-  - per-splat data travels as ONE raw payload matrix [A, 24] in pair-
-    aligned ROW-MAJOR order (cols: xs ys a b c opacity ch0..15); it is
-    built with a single row gather, and each [128, 24] chunk is
-    transposed IN-KERNEL to the [24, 128] math operand — the staging-side
-    [A,24]->[24,A] XLA transpose measured ~8 ms of the 29 ms forward
-    (per-component lane gathers are worse still, ~16 ms each at A~1.6M)
+  - per-splat data travels as [A/128, 24, 128] chunk blocks in the
+    [rows, splats] math layout (rows: xs ys a b c opacity ch0..15),
+    built by one row gather + batched 128x24 transposes — the global
+    [A,24]->[24,A] XLA transpose measured ~8 ms of the 29 ms forward,
+    and per-component lane gathers ~16 ms each at A~1.6M. Lane dim 128
+    keeps the HBM memref unpadded (Mosaic lane-pads a trailing dim of
+    24 to 128, quadrupling footprint) and chunk DMAs tile-aligned
   - the Gaussian falloff ``power`` is evaluated per chunk as a rank-6
     bilinear form u(s).v(p) on the MXU, with u computed IN-KERNEL from the
     raw rows in tile-center-relative coordinates (f32 cancellation: global
@@ -204,12 +205,13 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
     done_ref[...] = jnp.zeros_like(done_ref)
 
     def dma_in(slot, ci):
-        # row-major [S_CHUNK, ROWS] chunk (contiguous 12KB); the [24,128]
-        # operand the math wants comes from an in-kernel transpose — the
-        # staging-side [A,24]->[24,A] XLA transpose measured ~8 ms of the
-        # 29 ms forward (experiments/ab_forward5/6)
-        off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
-        return pltpu.make_async_copy(pay_hbm.at[pl.ds(off, S_CHUNK), :],
+        # pay_hbm is [A/128, ROWS, 128]: per-chunk blocks already in the
+        # [ROWS, 128] math layout (built by a batched 128x24 transpose on
+        # the XLA side — the full [A,24]->[24,A] transpose measured ~8 ms
+        # of the 29 ms forward, experiments/ab_forward5). Lane dim 128
+        # keeps the HBM memref unpadded and DMA slices tile-aligned.
+        c = (start + ci * S_CHUNK) // S_CHUNK
+        return pltpu.make_async_copy(pay_hbm.at[pl.ds(c, 1)],
                                      pay_buf.at[slot], in_sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -229,7 +231,7 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 dma_in((ci + 1) % 2, ci + 1).start()
             dma_in(slot, ci).wait()
 
-            raw = jax.lax.transpose(pay_buf[slot], (1, 0))
+            raw = pay_buf[slot, 0]
             (power, ealpha, alpha, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
                 raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
@@ -284,8 +286,8 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
     img_ref[0, 17:18] = done_ref[...]
 
 
-def _blend_fwd_impl(pay_rm, starts, counts, grid_x: int, n_tiles: int):
-    A = pay_rm.shape[0]
+def _blend_fwd_impl(pay3, starts, counts, grid_x: int, n_tiles: int):
+    A = pay3.shape[0] * S_CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -296,7 +298,7 @@ def _blend_fwd_impl(pay_rm, starts, counts, grid_x: int, n_tiles: int):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, S_CHUNK, ROWS), jnp.float32),
+            pltpu.VMEM((2, 1, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, S_CHUNK), jnp.float32),
             pltpu.VMEM((16, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
@@ -312,7 +314,7 @@ def _blend_fwd_impl(pay_rm, starts, counts, grid_x: int, n_tiles: int):
             jax.ShapeDtypeStruct((A // S_CHUNK, S_CHUNK), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, jnp.array([grid_x], jnp.int32), pay_rm)
+    )(starts, counts, jnp.array([grid_x], jnp.int32), pay3)
     return img, obs
 
 
@@ -338,8 +340,8 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
     tot_ref[...] = jnp.sum(acc * g, axis=0, keepdims=True)
 
     def dma_in(slot, ci):
-        off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
-        return pltpu.make_async_copy(pay_hbm.at[pl.ds(off, S_CHUNK), :],
+        c = (start + ci * S_CHUNK) // S_CHUNK
+        return pltpu.make_async_copy(pay_hbm.at[pl.ds(c, 1)],
                                      pay_buf.at[slot], in_sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -359,7 +361,7 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 dma_in((ci + 1) % 2, ci + 1).start()
             dma_in(slot, ci).wait()
 
-            raw = jax.lax.transpose(pay_buf[slot], (1, 0))
+            raw = pay_buf[slot, 0]
             (power, ealpha, alpha, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
                 raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
@@ -421,11 +423,10 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             parts = [dxs, dys, da, db, dc, dop_sum, dch, absx, absy]
             if ROWS > 24:
                 parts.append(jnp.zeros((ROWS - 24, S_CHUNK), jnp.float32))
-            out_buf[...] = jax.lax.transpose(
-                jnp.concatenate(parts, axis=0), (1, 0))[None]
-            off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
+            out_buf[...] = jnp.concatenate(parts, axis=0)[None]
+            c = (start + ci * S_CHUNK) // S_CHUNK
             odma = pltpu.make_async_copy(
-                out_buf, packed_hbm.at[:, pl.ds(off, S_CHUNK), :], out_sem)
+                out_buf, packed_hbm.at[pl.ds(c, 1)], out_sem)
             odma.start()
 
             carry_ref[...] = new_carry
@@ -449,10 +450,9 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             out_buf[...] = jnp.zeros_like(out_buf)
 
             def zbody(ci, _):
-                off = pl.multiple_of(start + ci * S_CHUNK, S_CHUNK)
+                c = (start + ci * S_CHUNK) // S_CHUNK
                 zdma = pltpu.make_async_copy(
-                    out_buf, packed_hbm.at[:, pl.ds(off, S_CHUNK), :],
-                    out_sem)
+                    out_buf, packed_hbm.at[pl.ds(c, 1)], out_sem)
                 zdma.start()
                 zdma.wait()
                 return 0
@@ -460,9 +460,9 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             jax.lax.fori_loop(final_ci, n_chunks, zbody, 0)
 
 
-def _blend_bwd_impl(pay_rm, starts, counts, img, gimg,
+def _blend_bwd_impl(pay3, starts, counts, img, gimg,
                     grid_x: int, n_tiles: int):
-    A = pay_rm.shape[0]
+    A = pay3.shape[0] * S_CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -473,8 +473,8 @@ def _blend_bwd_impl(pay_rm, starts, counts, img, gimg,
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, S_CHUNK, ROWS), jnp.float32),
-            pltpu.VMEM((1, S_CHUNK, ROWS), jnp.float32),
+            pltpu.VMEM((2, 1, ROWS, S_CHUNK), jnp.float32),
+            pltpu.VMEM((1, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
@@ -484,38 +484,39 @@ def _blend_bwd_impl(pay_rm, starts, counts, img, gimg,
     packed, = pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, A, ROWS), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((A // S_CHUNK, ROWS, S_CHUNK),
+                                        jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, jnp.array([grid_x], jnp.int32), pay_rm, gimg, img)
-    return packed[0]
+    )(starts, counts, jnp.array([grid_x], jnp.int32), pay3, gimg, img)
+    return packed
 
 
 # ------------------------------------------------- custom-vjp pair blend
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def blend_pairs(pay_rm, abs_hook, starts, counts, grid_x, n_tiles):
+def blend_pairs(pay3, abs_hook, starts, counts, grid_x, n_tiles):
     """(img [n_tiles,18,NPX], obs [A/128,128]) from the raw pair payload.
 
-    pay_rm [A,24] columns: xs, ys, a, b, c, opacity, ch0..ch15 (global
-    pixel-space xs/ys; the kernel shifts to tile-local and transposes
-    per chunk). abs_hook [A,2] zeros; its cotangent carries the exact
-    abs screen-gradients.
+    pay3 [A/128, 24, 128]: per-chunk blocks in the [rows, splats] math
+    layout (rows: xs, ys, a, b, c, opacity, ch0..ch15; global pixel-space
+    xs/ys — the kernel shifts to tile-local). abs_hook [A,2] zeros; its
+    cotangent carries the exact abs screen-gradients.
     """
-    return _blend_fwd_impl(pay_rm, starts, counts, grid_x, n_tiles)
+    return _blend_fwd_impl(pay3, starts, counts, grid_x, n_tiles)
 
 
-def _bp_fwd(pay_rm, abs_hook, starts, counts, grid_x, n_tiles):
-    img, obs = _blend_fwd_impl(pay_rm, starts, counts, grid_x, n_tiles)
-    return (img, obs), (pay_rm, starts, counts, img)
+def _bp_fwd(pay3, abs_hook, starts, counts, grid_x, n_tiles):
+    img, obs = _blend_fwd_impl(pay3, starts, counts, grid_x, n_tiles)
+    return (img, obs), (pay3, starts, counts, img)
 
 
 def _bp_bwd(grid_x, n_tiles, res, cot):
-    pay_rm, starts, counts, img = res
+    pay3, starts, counts, img = res
     gimg, _ = cot
-    packed = _blend_bwd_impl(pay_rm, starts, counts, img, gimg,
+    packed = _blend_bwd_impl(pay3, starts, counts, img, gimg,
                              grid_x, n_tiles)
-    dpay = packed.at[:, 22:].set(0.0)     # abs cols are not payload grads
-    dhook = packed[:, 22:24]
+    dpay = packed.at[:, 22:].set(0.0)     # abs rows are not payload grads
+    dhook = packed[:, 22:24].transpose(0, 2, 1).reshape(-1, 2)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return dpay, dhook, f0(starts), f0(counts)
 
@@ -557,6 +558,9 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
     slot_splat = jnp.where(ap.ids < 0, P, ap.ids)             # [A]
     pay_rm = jnp.take(payload, slot_splat, axis=0)            # [A, 24]
     pay_rm = jax.lax.optimization_barrier(pay_rm)
+    # [A/128, 24, 128] chunk blocks: batched local transposes instead of
+    # the global [A,24]->[24,A] transpose (measured ~8 ms cheaper)
+    pay3 = pay_rm.reshape(-1, S_CHUNK, ROWS).transpose(0, 2, 1)
 
     if mean2d_abs_hook is not None:
         hook = jnp.take(
@@ -566,7 +570,7 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
     else:
         hook = jnp.zeros((ap.src.shape[0], 2), jnp.float32)
 
-    img, obs = blend_pairs(pay_rm, hook, ap.starts, ap.counts,
+    img, obs = blend_pairs(pay3, hook, ap.starts, ap.counts,
                            grid_x, n_tiles)
 
     accum = img[:, :C, :]
