@@ -225,10 +225,21 @@ class FieldConstructionPipeline:
             lang_dir=lang_dir if os.path.isdir(lang_dir) else None)
         out_dir = self.paths.model_path or os.path.join(
             self.paths.data_path, "output")
+        start_it = 0
+        if self.cfg.start_checkpoint:
+            # resume the full TrainState (gaussian_field.py:146-149)
+            from .train.checkpoint import restore_checkpoint
+            trainer.state, start_it = restore_checkpoint(
+                self.cfg.start_checkpoint, trainer.state)
+            log.info("resumed from %s at iteration %d",
+                     self.cfg.start_checkpoint, start_it)
         state, metrics = trainer.train(
             iterations=iterations, save_dir=out_dir,
+            first_iteration=start_it + 1,
             test_iterations=self.cfg.test_iterations,
-            collage_interval=200)
+            collage_interval=200,
+            save_iterations=self.cfg.save_iterations,
+            checkpoint_iterations=self.cfg.checkpoint_iterations)
         # save splat PLY + optimized poses (gaussian_field.py:516-549)
         from .scene.ply_io import save_ply
         out = self.paths.model_path or os.path.join(self.paths.data_path,

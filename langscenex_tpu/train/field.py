@@ -687,7 +687,8 @@ class GaussianFieldTrainer:
     def train(self, iterations: Optional[int] = None, log_every: int = 0,
               callback=None, save_dir: Optional[str] = None,
               save_iterations=(), checkpoint_iterations=(),
-              test_iterations=(), collage_interval: int = 0):
+              test_iterations=(), collage_interval: int = 0,
+              first_iteration: int = 1):
         """Main loop. With ``save_dir``: PLY snapshots (with language/
         instance channels) at ``save_iterations`` and full orbax TrainState
         checkpoints at ``checkpoint_iterations`` plus optimized-pose npys —
@@ -696,7 +697,7 @@ class GaussianFieldTrainer:
         iterations = iterations or cfg.iterations
         metrics = {}
         ema_loss = 0.0
-        for it in range(1, iterations + 1):
+        for it in range(first_iteration, iterations + 1):
             if it % 100 == 0 and self.active_sh_degree < self.sh_degree_max:
                 self.active_sh_degree += 1
 

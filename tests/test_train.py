@@ -247,3 +247,38 @@ class TestObservability:
         assert any(f.startswith("00003_") for f in debug)
         rep = tr.training_report(5, str(tmp_path))
         assert np.isfinite(rep["psnr"]) and rep["psnr"] > 0
+
+
+class TestResume:
+    def test_checkpoint_resume_continues(self, tmp_path):
+        """start_checkpoint resume (gaussian_field.py:146-149): restore
+        the full TrainState and continue from the saved iteration."""
+        from langscenex_tpu.train.checkpoint import (restore_checkpoint,
+                                                     save_checkpoint)
+        from langscenex_tpu.train.field import GaussianFieldTrainer
+        cams = make_cams(n=2)
+        pts, colors = gt_scene(P=30)
+        imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=32)
+        cfg = OptimizationConfig(iterations=6, densify_from_iter=999,
+                                 loss_obj_3d=False, grouping_loss=False,
+                                 multi_view_weight_from_iter=999,
+                                 lang_loss_start_iter=999)
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=3.0,
+                                  sh_degree_max=0, rcfg=RCFG)
+        tr.train(iterations=3, save_dir=str(tmp_path),
+                 checkpoint_iterations=(3,))
+        xyz_at_3 = np.asarray(tr.state.splats.xyz).copy()
+
+        tr2 = GaussianFieldTrainer(cams, splats, cfg, scene_extent=3.0,
+                                   sh_degree_max=0, rcfg=RCFG)
+        tr2.state, it = restore_checkpoint(str(tmp_path), tr2.state)
+        assert it == 3
+        np.testing.assert_allclose(np.asarray(tr2.state.splats.xyz),
+                                   xyz_at_3)
+        tr2.train(iterations=6, first_iteration=it + 1)
+        assert int(tr2.state.step) >= 3
+        assert not np.allclose(np.asarray(tr2.state.splats.xyz), xyz_at_3)
