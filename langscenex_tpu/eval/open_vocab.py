@@ -15,7 +15,7 @@ this module supplies the missing half of the protocol:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -23,7 +23,7 @@ video_inference.py:29-30) is spatial_tile_decode below.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

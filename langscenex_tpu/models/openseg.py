@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 

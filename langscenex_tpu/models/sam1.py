@@ -23,14 +23,14 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sam2.decoder import (AttentionDS, MLP, LayerNorm2d, TwoWayTransformer,
+from .sam2.decoder import (MLP, LayerNorm2d, TwoWayTransformer,
                            DecoderConfig)
 from .sam2.hiera import window_partition, window_unpartition
 from ..ops.connected import mask_nms

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .binning import build_tile_lists, TileLists
-from .projection import RasterCamera, ProcessedSplats, preprocess
+from .projection import RasterCamera, preprocess
 
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0

@@ -45,7 +45,7 @@ from .densify import densify_and_prune
 from .multiview import multi_view_loss
 from .optim import (make_app_optimizer, make_pose_optimizer,
                     make_splat_optimizer, phase_grad_mask, splat_params,
-                    zero_moments_at, PARAM_FIELDS)
+                    zero_moments_at)
 
 
 class StepFlags(NamedTuple):

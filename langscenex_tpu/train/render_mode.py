@@ -21,7 +21,7 @@ import optax
 
 from ..ops import losses as L
 from ..ops.rasterize import RasterConfig
-from ..ops.quat import camera_from_tensor, tensor_from_camera
+from ..ops.quat import tensor_from_camera
 from ..ops.tsdf import create_volume, integrate, extract_mesh, save_mesh_ply
 from ..scene.cameras import Camera
 from ..scene.gaussians import GaussianState

@@ -8,7 +8,7 @@ the virtual-camera jitter gen_virtul_cam (utils/camera_utils.py:86).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
