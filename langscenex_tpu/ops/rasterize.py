@@ -69,6 +69,7 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray            # [P]
     out_observe: jnp.ndarray      # [P] int32
     visible: jnp.ndarray          # [P] bool
+    pairs_overflowed: jnp.ndarray  # [] bool: K or max_pairs truncated
 
 
 def _tile_pixel_coords(grid_x: int, grid_y: int, tile_h: int, tile_w: int):
@@ -253,4 +254,5 @@ def rasterize(
     return RenderOutput(color=color, language=language, instance=instance,
                         all_map=out_all_map, plane_depth=plane_depth,
                         final_T=final_T, radii=proc.radius,
-                        out_observe=observe, visible=proc.visible)
+                        out_observe=observe, visible=proc.visible,
+                        pairs_overflowed=lists.overflowed)

@@ -309,6 +309,7 @@ def view_loss(cfg: OptimizationConfig, flags: StepFlags, rcfg: RasterConfig,
             metrics['ins_obj3d_loss'] = ol
 
     metrics['total'] = total
+    metrics['pair_overflow'] = out.pairs_overflowed.astype(jnp.float32)
     aux = (metrics, out.radii, out.out_observe, out.visible)
     return total, aux
 
@@ -485,6 +486,15 @@ class GaussianFieldTrainer:
                  lang_dir: Optional[str] = None):
         self.cams = cams
         self.cfg = cfg
+        # training default: cap the sorted pair list (measured +35-56%
+        # step rate at 200k splats — the cap shrinks the backward's dpay
+        # scatter domain; experiments/train_rate.py). 8x capacity with a
+        # 64k floor so tiny test scenes never truncate; the step reports
+        # metrics['pair_overflow'] if a scene ever exceeds it.
+        if rcfg.max_pairs is None:
+            import dataclasses as _dc
+            rcfg = _dc.replace(
+                rcfg, max_pairs=max(8 * splats.capacity, 1 << 16))
         self.rcfg = rcfg
         self.scene_extent = scene_extent
         self.sh_degree_max = sh_degree_max
@@ -757,6 +767,13 @@ class GaussianFieldTrainer:
                     and it % collage_interval == 0):
                 self.debug_collage(it, ci, save_dir)
 
+            if metrics.get('pair_overflow') is not None and it % 100 == 0 \
+                    and float(metrics['pair_overflow']) > 0:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "pair list overflowed (max_pairs=%s or K=%d too "
+                    "small) — renders truncated; raise the caps",
+                    self.rcfg.max_pairs, self.rcfg.max_tiles_per_splat)
             if log_every and it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 # EMA postfix (decay 0.4/0.6, gaussian_field.py:490-511)
