@@ -483,7 +483,8 @@ class GaussianFieldTrainer:
                  cfg: OptimizationConfig, scene_extent: float,
                  sh_degree_max: int = 3, rcfg: RasterConfig = RasterConfig(),
                  white_background: bool = False, seed: int = 42,
-                 lang_dir: Optional[str] = None):
+                 lang_dir: Optional[str] = None,
+                 confidence_lr: Optional[jnp.ndarray] = None):
         self.cams = cams
         self.cfg = cfg
         # training default: cap the sorted pair list (measured +35-56%
@@ -521,7 +522,8 @@ class GaussianFieldTrainer:
             splats=splats,
             poses=jnp.asarray(poses),
             app_ab=jnp.zeros((len(cams), 2), jnp.float32),
-            splat_opt=make_splat_optimizer(cfg, scene_extent).init(
+            splat_opt=make_splat_optimizer(
+                cfg, scene_extent, confidence_lr=confidence_lr).init(
                 splat_params(splats)),
             pose_opt=make_pose_optimizer(cfg).init(jnp.asarray(poses)),
             app_opt=make_app_optimizer().init(jnp.zeros((len(cams), 2))),

@@ -83,7 +83,9 @@ def splat_params(state: GaussianState) -> dict:
 
 
 def make_splat_optimizer(cfg: OptimizationConfig,
-                         spatial_lr_scale: float) -> optax.GradientTransformation:
+                         spatial_lr_scale: float,
+                         confidence_lr: 'jnp.ndarray | None' = None
+                         ) -> optax.GradientTransformation:
     """Adam(eps=1e-15) with per-group lr over the splat param dict; xyz
     follows the exponential schedule. Every group is always an adam so the
     optimizer state structure is phase-independent; phase freezing is
@@ -99,6 +101,13 @@ def make_splat_optimizer(cfg: OptimizationConfig,
                 cfg.position_lr_final * spatial_lr_scale,
                 lr_delay_mult=cfg.position_lr_delay_mult,
                 max_steps=cfg.position_lr_max_steps)
+            if cfg.pp_optimizer:
+                # training_setup_pp (gaussian_model.py:344-382): the xyz
+                # group runs PerPointAdam with an optional CUT3R
+                # confidence-derived per-point lr column
+                from .per_point_adam import per_point_adam
+                return per_point_adam(lr=sched, eps=1e-15,
+                                      init_per_point_lr=confidence_lr)
             return optax.adam(sched, eps=1e-15)
         return optax.adam(lrs[name], eps=1e-15)
 
@@ -133,12 +142,33 @@ def zero_moments_at(opt_state, slot_mask: jnp.ndarray):
     """Reset Adam moments at slots where ``slot_mask`` is True — the
     fixed-capacity analogue of the reference's cat_tensors_to_optimizer
     zero-extension (gaussian_model.py:561-581). Works on any optax state
-    pytree whose leaves lead with the capacity axis."""
+    pytree whose leaves lead with the capacity axis. PerPointAdam's lr
+    column resets to the NEUTRAL 1.0 (a zero lr would freeze new slots
+    forever)."""
+    from .per_point_adam import PerPointAdamState
     cap = slot_mask.shape[0]
 
-    def reset(leaf):
+    def reset(leaf, fill=0.0):
         if hasattr(leaf, 'shape') and leaf.ndim >= 1 and leaf.shape[0] == cap:
             m = slot_mask.reshape((cap,) + (1,) * (leaf.ndim - 1))
-            return jnp.where(m, jnp.zeros_like(leaf), leaf)
+            return jnp.where(m, jnp.full_like(leaf, fill), leaf)
         return leaf
-    return jax.tree_util.tree_map(reset, opt_state)
+
+    def walk(node):
+        if isinstance(node, PerPointAdamState):
+            return PerPointAdamState(
+                count=node.count,
+                mu=jax.tree_util.tree_map(reset, node.mu),
+                nu=jax.tree_util.tree_map(reset, node.nu),
+                per_point_lr=reset(node.per_point_lr, fill=1.0))
+        if isinstance(node, tuple) and hasattr(node, '_fields'):
+            return type(node)(*[walk(c) for c in node])
+        if isinstance(node, tuple):
+            return tuple(walk(c) for c in node)
+        if isinstance(node, list):
+            return [walk(c) for c in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return reset(node)
+
+    return walk(opt_state)

@@ -24,12 +24,15 @@ class PerPointAdamState(NamedTuple):
     per_point_lr: jnp.ndarray     # [P, 1]
 
 
-def per_point_adam(lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
+def per_point_adam(lr=1e-3, b1: float = 0.9, b2: float = 0.999,
                    eps: float = 1e-8,
                    init_per_point_lr: Optional[jnp.ndarray] = None,
                    adjust: bool = True) -> optax.GradientTransformation:
     """Adam whose effective step is lr * per_point_lr[p] for each point row.
-    Leaves must have leading point dim P; per_point_lr broadcasts on it."""
+    Leaves must have leading point dim P; per_point_lr broadcasts on it.
+    ``lr`` may be a float or a schedule callable(step) (the reference
+    drives the xyz group's base lr with the expon schedule while the
+    per-point column self-adjusts, gaussian_model.py:374-377)."""
 
     def init_fn(params):
         mu = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -60,12 +63,14 @@ def per_point_adam(lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
         pplr = state.per_point_lr * scale[:, None] if adjust \
             else state.per_point_lr
 
+        base_lr = lr(count) if callable(lr) else lr
+
         def upd(m, v):
             mhat = m / bc1
             vhat = v / bc2
             step = mhat / (jnp.sqrt(vhat) + eps)
             broadcast = pplr.reshape((pplr.shape[0],) + (1,) * (step.ndim - 1))
-            return -lr * broadcast * step
+            return -base_lr * broadcast * step
 
         updates = jax.tree_util.tree_map(upd, mu, nu)
         return updates, PerPointAdamState(count=count, mu=mu, nu=nu,

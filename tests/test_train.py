@@ -282,3 +282,60 @@ class TestResume:
         tr2.train(iterations=6, first_iteration=it + 1)
         assert int(tr2.state.step) >= 3
         assert not np.allclose(np.asarray(tr2.state.splats.xyz), xyz_at_3)
+
+
+class TestPerPointOptimizer:
+    def test_pp_optimizer_trains_and_densifies(self):
+        """cfg.pp_optimizer=True runs PerPointAdam on xyz
+        (training_setup_pp, gaussian_model.py:344-382) incl. a densify
+        state reset that keeps new slots' per-point lr at the neutral 1."""
+        from langscenex_tpu.train.field import GaussianFieldTrainer
+        from langscenex_tpu.train.optim import zero_moments_at
+        from langscenex_tpu.train.per_point_adam import PerPointAdamState
+
+        cams = make_cams(n=2)
+        pts, colors = gt_scene(P=30)
+        imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=64)
+        conf = np.linspace(0.5, 2.0, 64, dtype=np.float32)[:, None]
+        cfg = OptimizationConfig(pp_optimizer=True, iterations=4,
+                                 densify_from_iter=1, densify_until_iter=3,
+                                 densification_interval=2,
+                                 densify_grad_threshold=1e-9,
+                                 loss_obj_3d=False, grouping_loss=False,
+                                 multi_view_weight_from_iter=999,
+                                 lang_loss_start_iter=999)
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=3.0,
+                                  sh_degree_max=0, rcfg=RCFG,
+                                  confidence_lr=jnp.asarray(conf))
+        state, metrics = tr.train(iterations=4)
+        assert np.isfinite(float(metrics['total']))
+
+        def find_pp(node):
+            if isinstance(node, PerPointAdamState):
+                return node
+            if isinstance(node, (tuple, list)):
+                for c in node:
+                    r = find_pp(c)
+                    if r is not None:
+                        return r
+            if isinstance(node, dict):
+                for c in node.values():
+                    r = find_pp(c)
+                    if r is not None:
+                        return r
+            return None
+
+        pp = find_pp(tr.state.splat_opt)
+        assert pp is not None
+        pplr = np.asarray(pp.per_point_lr)
+        assert pplr.shape == (64, 1) and np.all(np.isfinite(pplr))
+        # slots written by densify reset to neutral lr 1, not 0
+        mask = jnp.zeros(64, bool).at[60].set(True)
+        reset = find_pp(zero_moments_at(tr.state.splat_opt, mask))
+        np.testing.assert_allclose(np.asarray(reset.per_point_lr)[60], 1.0)
+        assert np.all(np.asarray(reset.mu['xyz'] if isinstance(reset.mu, dict)
+                                 else reset.mu)[60] == 0)
