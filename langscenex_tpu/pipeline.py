@@ -215,6 +215,35 @@ class FieldConstructionPipeline:
         info = load_scene(self.paths.data_path, kind="cut3r")
         splats = create_from_points(info.points, info.colors,
                                     self.cfg.dataset.sh_degree)
+        # pp-optimizer confidence (gaussian_field.py:128-136: load
+        # sparse/0/confidence_dsp.npy; on failure fall back to plain Adam)
+        confidence = None
+        if self.cfg.opt.pp_optimizer:
+            import dataclasses as _dc
+
+            import jax.numpy as _jnp
+
+            from .train.per_point_adam import confidence_lr as _clr
+            cpath = os.path.join(self.paths.data_path, "sparse/0",
+                                 "confidence_dsp.npy")
+            try:
+                conf = np.load(cpath).reshape(-1)
+                if conf.shape[0] != splats.capacity:
+                    pad = np.zeros(splats.capacity, np.float32)
+                    pad[:min(len(conf), splats.capacity)] = \
+                        conf[:splats.capacity]
+                    conf = pad
+                confidence = _clr(_jnp.asarray(conf), scale=(2.0, 100.0))
+            except Exception:
+                log.warning("can not load confidence; disabling "
+                            "pp_optimizer")
+                self.cfg.opt = _dc.replace(self.cfg.opt,
+                                           pp_optimizer=False) \
+                    if _dc.is_dataclass(self.cfg.opt) else self.cfg.opt
+                try:
+                    self.cfg.opt.pp_optimizer = False
+                except Exception:
+                    pass
         lang_dir = os.path.join(self.paths.data_path,
                                 self.cfg.dataset.language_features_name)
         trainer = GaussianFieldTrainer(
@@ -222,7 +251,8 @@ class FieldConstructionPipeline:
             scene_extent=info.nerf_norm_radius,
             sh_degree_max=self.cfg.dataset.sh_degree,
             white_background=self.cfg.dataset.white_background,
-            lang_dir=lang_dir if os.path.isdir(lang_dir) else None)
+            lang_dir=lang_dir if os.path.isdir(lang_dir) else None,
+            confidence_lr=confidence)
         out_dir = self.paths.model_path or os.path.join(
             self.paths.data_path, "output")
         start_it = 0

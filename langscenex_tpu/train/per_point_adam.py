@@ -80,11 +80,10 @@ def per_point_adam(lr=1e-3, b1: float = 0.9, b2: float = 0.999,
 
 
 def confidence_lr(confidence: jnp.ndarray, scale=(2.0, 100.0)) -> jnp.ndarray:
-    """CUT3R confidence -> per-point lr multipliers
-    (load_and_prepare_confidence semantics: normalize to [0,1], map high
-    confidence to small lr and low confidence to large lr within
-    [1/scale_hi, 1/scale_lo])."""
-    c = (confidence - confidence.min()) / jnp.maximum(
-        confidence.max() - confidence.min(), 1e-12)
-    lo, hi = 1.0 / scale[1], 1.0 / scale[0]
-    return (hi - c * (hi - lo)).reshape(-1, 1)
+    """CUT3R confidence -> per-point lr multipliers, exactly
+    load_and_prepare_confidence (gaussian_field.py:85-107):
+    sigmoid-normalize, invert, scale into [min,max] (default (2,100) as
+    passed at :131) — low-confidence points get LARGE position lr."""
+    inv = 1.0 - jax.nn.sigmoid(confidence)
+    lo, hi = scale
+    return (inv * (hi - lo) + lo).reshape(-1, 1)

@@ -38,12 +38,15 @@ class TestPerPointAdam:
         assert ratio > 50
 
     def test_confidence_lr_range(self):
-        c = jnp.asarray(np.linspace(0, 1, 10))
+        # exact load_and_prepare_confidence (gaussian_field.py:85-107):
+        # lr = (1 - sigmoid(c)) * (hi - lo) + lo
+        c = jnp.asarray(np.linspace(-5, 5, 10))
         lr = confidence_lr(c, scale=(2, 100))
-        assert float(lr.max()) == pytest.approx(0.5, abs=1e-5)
-        assert float(lr.min()) == pytest.approx(0.01, abs=1e-5)
-        # high confidence -> low lr
+        expect = (1 - 1 / (1 + np.exp(-np.linspace(-5, 5, 10)))) * 98 + 2
+        np.testing.assert_allclose(np.asarray(lr)[:, 0], expect, rtol=1e-5)
+        # high confidence -> low lr, bounded by the scale range
         assert float(lr[-1, 0]) < float(lr[0, 0])
+        assert float(lr.min()) >= 2 and float(lr.max()) <= 100
 
 
 class TestPoseEval:
