@@ -263,6 +263,9 @@ class FieldConstructionPipeline:
                 self.cfg.start_checkpoint, trainer.state)
             log.info("resumed from %s at iteration %d",
                      self.cfg.start_checkpoint, start_it)
+        final_it = iterations or self.cfg.opt.iterations
+        trainer.save_pose_org(
+            out_dir, tuple(self.cfg.save_iterations) + (final_it,))
         state, metrics = trainer.train(
             iterations=iterations, save_dir=out_dir,
             first_iteration=start_it + 1,
@@ -280,7 +283,16 @@ class FieldConstructionPipeline:
                               "point_cloud.ply"))
         os.makedirs(os.path.join(out, f"pose/iter_{it}"), exist_ok=True)
         np.save(os.path.join(out, f"pose/iter_{it}/pose_optimized.npy"),
-                np.asarray(state.poses))
+                trainer.poses_as_matrices())
+        # render_camera/*.npz from the optimized poses
+        # (gaussian_field.py:553-559 -> pose_utils.post_pose_process)
+        cam_dir = os.path.join(self.paths.data_path, "camera")
+        if os.path.isdir(cam_dir) and os.listdir(cam_dir):
+            from .utils.camera_paths import post_pose_process
+            eg = os.path.join(cam_dir, sorted(os.listdir(cam_dir))[0])
+            post_pose_process(
+                np.asarray(state.poses), eg,
+                os.path.join(self.paths.data_path, "render_camera"))
         return state, metrics
 
     # ------------------------------------------------------------ render

@@ -595,6 +595,31 @@ class GaussianFieldTrainer:
                 self.scene_extent)
         return self._steps[flags]
 
+    # ---------------- pose export ----------------
+
+    def poses_as_matrices(self, poses=None) -> np.ndarray:
+        """[N,7] learnable quat+t -> [N,4,4] w2c matrices ordered by
+        colmap id (save_pose, gaussian_field.py:68-84 — the reference's
+        pose npy format)."""
+        qt = np.asarray(self.state.poses if poses is None else poses)
+        mats = np.stack([np.asarray(camera_from_tensor(jnp.asarray(q)))
+                         for q in qt])
+        order = np.argsort([c.colmap_id for c in self.cams])
+        return mats[order]
+
+    def save_pose_org(self, save_dir: str, save_iterations) -> None:
+        """Nominal (pre-training) poses per save iter
+        (gaussian_field.py:141-144)."""
+        import os
+        nominal = np.stack(
+            [np.asarray(tensor_from_camera(jnp.asarray(c.w2c)))
+             for c in self.cams]).astype(np.float32)
+        for it in save_iterations:
+            d = os.path.join(save_dir, f"pose/iter_{it}")
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "pose_org.npy"),
+                    self.poses_as_matrices(nominal))
+
     # ---------------- observability ----------------
 
     def _eval_render(self, ci: int, include_feature: bool,
@@ -759,7 +784,7 @@ class GaussianFieldTrainer:
                             exist_ok=True)
                 np.save(os.path.join(save_dir,
                                      f"pose/iter_{it}/pose_optimized.npy"),
-                        np.asarray(self.state.poses))
+                        self.poses_as_matrices())
             if save_dir and it in set(checkpoint_iterations):
                 from .checkpoint import save_checkpoint
                 save_checkpoint(save_dir, self.state, it)

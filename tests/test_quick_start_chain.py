@@ -67,7 +67,10 @@ def test_quick_start_tiny_chain(tmp_path):
     # stage-4: trained field + render + eval artifacts
     out = dp / "output"
     assert (out / "point_cloud" / "iteration_6" / "point_cloud.ply").exists()
-    assert (out / "pose" / "iter_6" / "pose_optimized.npy").exists()
+    pose = np.load(out / "pose" / "iter_6" / "pose_optimized.npy")
+    assert pose.shape == (9, 4, 4)        # save_pose matrix format
+    assert (out / "pose" / "iter_6" / "pose_org.npy").exists()
+    assert len(os.listdir(dp / "render_camera")) == 9
     renders = os.listdir(out / "renders" / "iteration_6")
     assert any(f.endswith("_render.png") for f in renders)
     for d in ("renders_rgb", "renders_lang_npy", "renders_instance_npy"):
