@@ -142,6 +142,21 @@ def _lower_tri():
     return (c <= r).astype(jnp.float32)   # inclusive lower triangle
 
 
+def _cumsum_sublane(x):
+    """Exact f32 inclusive prefix sum along axis 0 via log-step
+    roll+add (Mosaic lowers neither cumsum nor f32-exact triangular
+    matmuls: the MXU truncates operands to bf16 passes by default, which
+    measurably diverges the T recurrence under deep overdraw)."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, 0)
+        x = x + jnp.where(row >= k, shifted, 0.0)
+        k *= 2
+    return x
+
+
 def _local_u(raw, tile_cx, tile_cy):
     """u rows [6, S] + (xsl, ysl, a, b, c, op) from raw payload [32, S] in
     tile-center-relative coordinates."""
@@ -159,18 +174,23 @@ def _local_u(raw, tile_cx, tile_cy):
 def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
     """Shared forward recurrence for one chunk of S_CHUNK splats."""
     u, xsl, ysl, a, b, c = _local_u(raw, tile_cx, tile_cy)
+    # HIGHEST: TPU matmuls default to bf16 passes; px^2 ~ 4e3 truncated
+    # to bf16 gives |power| errors O(0.1) that compound through the
+    # T recurrence over deep overdraw (measured 0.25 abs color divergence
+    # vs the f32 XLA path at 20k splats before this fix)
     power = jax.lax.dot_general(
         u, v[:6], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [S, NPX]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                   # [S, NPX]
     op = jax.lax.transpose(raw[5:6], (1, 0))                   # [S, 1]
     ealpha = op * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, ealpha)
     row = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, 1), 0)
     m = (row < remaining) & (power <= 0.0) & (alpha >= ALPHA_MIN)
     log1m = jnp.where(m, jnp.log1p(-alpha), 0.0)
-    cum = jax.lax.dot_general(_lower_tri(), log1m,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    # exact f32 inclusive prefix on the VPU (the [S,S] triangular matmul
+    # truncates log1m to bf16 on the MXU — same divergence mechanism)
+    cum = _cumsum_sublane(log1m)
     log_T_incl = carry_log + cum                               # [S, NPX]
     include = m & (log_T_incl >= LOG_T_EPS) & (done < 0.5)
     T_excl = jnp.exp(log_T_incl - log1m)
@@ -371,9 +391,7 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 raw[6:22], g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [S, NPX]
             contrib = w * chg
-            prefix = jax.lax.dot_general(
-                _lower_tri(), contrib, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + prefix_carry
+            prefix = _cumsum_sublane(contrib) + prefix_carry
             suffix = tot_ref[...] - prefix            # strict suffix
             one_m_a = jnp.maximum(1.0 - alpha, 1e-6)
             dalpha = jnp.where(
