@@ -139,8 +139,11 @@ def blend_tiles_xla(lists: TileLists, mean2d: jnp.ndarray, conic: jnp.ndarray,
         T_excl = T[:, None, :] * jnp.exp(cum_incl - log1m)
         w = jnp.where(include, alpha * T_excl, 0.0)             # [n_tiles,CH,npx]
 
+        # HIGHEST: this path is the precision reference (the fused kernel
+        # accumulates channels in bf16 MXU passes, ~3e-3; here exact f32)
         accum = accum + jnp.einsum('tsc,tsp->tcp', ch, w,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
         obs = jnp.sum((include & (T_excl > 0.5)).astype(jnp.int32), axis=-1)
         observe = observe.at[jnp.where(in_range, ids, P)].add(
