@@ -45,17 +45,22 @@ def encode_queries_to_lang3(query_emb: np.ndarray, ae_trainer
     return ae_trainer.encode(query_emb.astype(np.float32))
 
 
-def relevancy_maps(lang_map: np.ndarray, query_codes: np.ndarray
-                   ) -> np.ndarray:
+def relevancy_maps(lang_map: np.ndarray, query_codes: np.ndarray,
+                   min_norm: float = 0.1) -> np.ndarray:
     """lang_map [3,H,W] rendered features + [Q,3] codes -> [Q,H,W]
-    cosine relevancy."""
+    cosine relevancy. Pixels whose feature norm is below ``min_norm``
+    (uncovered background: alpha-blended features decay toward 0 there,
+    and normalizing them amplifies noise into spurious matches) get
+    relevancy -1."""
     C, H, W = lang_map.shape
     flat = lang_map.reshape(C, -1)
-    flat = flat / np.maximum(np.linalg.norm(flat, axis=0, keepdims=True),
-                             1e-12)
+    norms = np.linalg.norm(flat, axis=0, keepdims=True)
+    flat = flat / np.maximum(norms, 1e-12)
     q = query_codes / np.maximum(
         np.linalg.norm(query_codes, axis=-1, keepdims=True), 1e-12)
-    return (q @ flat).reshape(-1, H, W)
+    rel = q @ flat
+    rel = np.where(norms >= min_norm, rel, -1.0)
+    return rel.reshape(-1, H, W)
 
 
 def predict_masks(rel: np.ndarray, threshold: float = 0.5) -> np.ndarray:

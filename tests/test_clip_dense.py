@@ -186,3 +186,90 @@ class TestOpenVocab:
         n = codes / np.linalg.norm(codes, axis=-1, keepdims=True)
         cos = n @ n.T
         assert cos[0, 1] < 0.999 and cos[0, 2] < 0.999
+
+
+class TestLanguageFieldEndToEnd:
+    def test_trained_field_answers_queries(self):
+        """Train splat language features against synthetic per-region
+        3-d codes (the stage-3 output contract), then open-vocab query
+        the RENDERED field: mIoU over the recovered regions must beat
+        0.5. Exercises lang loss -> rasterized lang channels ->
+        eval/open_vocab end to end."""
+        import jax
+        import jax.numpy as jnp
+
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_train import make_cams, gt_scene, render_gt_images, RCFG
+        from langscenex_tpu.scene.cameras import rgb_to_gray
+        from langscenex_tpu.scene.gaussians import create_from_points
+        from langscenex_tpu.train.field import (GaussianFieldTrainer,
+                                                render_view)
+        from langscenex_tpu.utils.config import OptimizationConfig
+        from langscenex_tpu.eval.open_vocab import eval_open_vocab
+
+        rng = np.random.default_rng(0)
+        codes = rng.normal(size=(2, 3)).astype(np.float32)
+        codes /= np.linalg.norm(codes, axis=-1, keepdims=True)
+
+        cams = make_cams(n=2)
+        pts, colors = gt_scene(P=40)
+        region = (pts[:, 0] > 0).astype(np.int32)      # left/right split
+        imgs = render_gt_images(cams, pts, colors)
+
+        # ground-truth lang maps: render a field whose splats carry the
+        # region codes, then take per-pixel nearest-code ids
+        import dataclasses as dc
+        gt_splats = create_from_points(pts, colors, capacity=64)
+        lf = np.zeros((64, 3), np.float32)
+        lf[:len(pts)] = codes[region]
+        gt_splats = dc.replace(gt_splats,
+                               language_feature=jnp.asarray(lf))
+        bg = jnp.zeros(3)
+        gt_lang, gt_ids, lang_feats = [], [], []
+        for c in cams:
+            out = render_view(gt_splats, None, jnp.asarray(c.w2c),
+                              c.raster_camera(), bg, 0, True, False,
+                              None, RCFG)
+            lm = np.asarray(out.language)
+            rel = np.einsum('qc,chw->qhw', codes, lm)
+            # coverage criterion MUST match the query protocol's
+            # (relevancy_maps min_norm): blended feature magnitude
+            covered = np.linalg.norm(lm, axis=0) >= 0.1
+            ids = np.where(covered, np.argmax(rel, 0), -1).astype(np.int32)
+            gt_ids.append(ids)
+            lang_feats.append(lm)
+            c.image = np.clip(imgs[len(gt_lang)], 0, 1)
+            gt_lang.append(lm)
+        for c, img in zip(cams, imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+            c.language_feature_cache = None
+
+        # train a fresh field's language features against the gt maps
+        splats = create_from_points(pts, colors, capacity=64)
+        cfg = OptimizationConfig(iterations=200, densify_from_iter=999,
+                                 max_geo_iter=1, lang_loss_start_iter=0,
+                                 language_feature_lr=0.05,
+                                 optim_pose=False, loss_obj_3d=False,
+                                 grouping_loss=False,
+                                 multi_view_weight_from_iter=999)
+        tr = GaussianFieldTrainer(cams, splats, cfg, scene_extent=3.0,
+                                  sh_degree_max=0, rcfg=RCFG)
+        # inject the gt lang maps as the per-camera supervision
+        for ci, c in enumerate(cams):
+            a = tr._camera_arrays(ci)
+            a['lang_feat'] = jnp.asarray(gt_lang[ci])
+            a['lang_mask'] = jnp.asarray(gt_ids[ci] >= 0)
+        tr.train(iterations=200)
+
+        # query the TRAINED field
+        lang_maps = []
+        for c in cams:
+            out = render_view(tr.state.splats, None, jnp.asarray(c.w2c),
+                              c.raster_camera(), bg, 0, True, False,
+                              None, RCFG)
+            lang_maps.append(np.asarray(out.language))
+        res = eval_open_vocab(lang_maps, gt_ids, codes, threshold=0.1)
+        assert res["miou"] > 0.5, res
+        assert res["acc"] > 0.5, res
