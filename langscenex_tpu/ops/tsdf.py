@@ -164,6 +164,64 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = 1.0):
             np.asarray(vert_cols, np.float32))
 
 
+def post_process_mesh(verts: np.ndarray, faces: np.ndarray,
+                      colors: Optional[np.ndarray] = None,
+                      cluster_to_keep: int = 3):
+    """Filter floaters/disconnected parts (gaussian_field.py:43-63).
+
+    Clusters triangles connected through shared edges (the o3d
+    ``cluster_connected_triangles`` semantics), keeps clusters with at
+    least as many triangles as the ``cluster_to_keep``-th largest (floored
+    at 50, like the reference), then drops unreferenced vertices and
+    degenerate (repeated-index) triangles. Host numpy union-find.
+
+    Returns (verts, faces, colors) with colors=None passed through."""
+    F = len(faces)
+    if F == 0:
+        return verts, faces, colors
+    parent = np.arange(F, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    edge_owner = {}
+    for t in range(F):
+        a, b, c = faces[t]
+        for e in ((a, b), (b, c), (c, a)):
+            key = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+            o = edge_owner.setdefault(key, t)
+            if o != t:
+                ra, rb = find(o), find(t)
+                if ra != rb:
+                    parent[rb] = ra
+    roots = np.array([find(t) for t in range(F)])
+    labels, counts = np.unique(roots, return_counts=True)
+    sizes = np.sort(counts)
+    kth = sizes[-min(cluster_to_keep, len(sizes))]
+    thresh = max(int(kth), 50)
+    keep_roots = set(labels[counts >= thresh].tolist())
+    keep = np.array([r in keep_roots for r in roots])
+    faces = faces[keep]
+    # drop degenerate triangles (repeated vertex index)
+    nondeg = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+              & (faces[:, 0] != faces[:, 2]))
+    faces = faces[nondeg]
+    # compact unreferenced vertices
+    used = np.unique(faces)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    verts = verts[used]
+    faces = remap[faces].astype(faces.dtype)
+    if colors is not None:
+        colors = colors[used]
+    return verts, faces, colors
+
+
 def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray,
                   colors: Optional[np.ndarray] = None) -> None:
     with open(path, 'wb') as f:

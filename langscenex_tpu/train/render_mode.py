@@ -22,7 +22,8 @@ import optax
 from ..ops import losses as L
 from ..ops.rasterize import RasterConfig
 from ..ops.quat import tensor_from_camera
-from ..ops.tsdf import create_volume, integrate, extract_mesh, save_mesh_ply
+from ..ops.tsdf import (create_volume, integrate, extract_mesh,
+                        post_process_mesh, save_mesh_ply)
 from ..scene.cameras import Camera
 from ..scene.gaussians import GaussianState
 from .field import render_view
@@ -138,6 +139,12 @@ def _fuse_and_save(view_maps, color_key, out_dir, name, voxel_size):
     vol = dataclasses.replace(vol, tsdf=t, weight=w, color=c)
     verts, faces, cols = extract_mesh(vol)
     save_mesh_ply(os.path.join(out_dir, name), verts, faces, cols)
+    # floater/cluster filtering pass (gaussian_field.py:738-740 writes
+    # both tsdf_fusion.ply and tsdf_fusion_post.ply)
+    pverts, pfaces, pcols = post_process_mesh(verts, faces, cols)
+    stem, ext = os.path.splitext(name)
+    save_mesh_ply(os.path.join(out_dir, stem + "_post" + ext),
+                  pverts, pfaces, pcols)
 
 
 def eval_result(splats: GaussianState, test_cams: List[Camera],

@@ -8,7 +8,7 @@ import pytest
 
 from langscenex_tpu.ops.rasterize import RasterConfig
 from langscenex_tpu.ops.tsdf import (create_volume, integrate, extract_mesh,
-                                     save_mesh_ply)
+                                     post_process_mesh, save_mesh_ply)
 from langscenex_tpu.scene.gaussians import create_from_points
 from langscenex_tpu.scene.ply_io import save_ply, load_ply
 from langscenex_tpu.train.render_mode import (render_result, eval_views,
@@ -31,6 +31,32 @@ class TestTSDF:
         # surface z within a voxel of 2.0
         assert abs(np.median(verts[:, 2]) - 2.0) < 0.1
         np.testing.assert_allclose(np.median(cols), 0.5, atol=0.05)
+
+    def test_post_process_mesh_drops_floaters(self):
+        """A 100-triangle fan plus a disconnected 1-triangle floater: the
+        floater's cluster (<50 tris) is removed, the fan survives, and
+        unreferenced vertices are compacted (gaussian_field.py:43-63)."""
+        rng = np.random.default_rng(0)
+        n = 100
+        # fan: vertices 0..n around center vertex n
+        verts = np.concatenate([rng.normal(size=(n + 1, 3)),
+                                100 + rng.normal(size=(3, 3))]).astype(
+            np.float32)
+        fan = np.stack([np.full(n, n), np.arange(n),
+                        (np.arange(n) + 1) % n], 1)
+        floater = np.array([[n + 1, n + 2, n + 3]])
+        faces = np.concatenate([fan, floater]).astype(np.int32)
+        cols = np.ones((len(verts), 3), np.float32)
+        pv, pf, pc = post_process_mesh(verts, faces, cols, cluster_to_keep=3)
+        assert len(pf) == n                      # floater removed
+        assert len(pv) == n + 1                  # its verts compacted away
+        assert pc.shape == (n + 1, 3)
+        assert pf.max() < len(pv)
+        # degenerate triangle is dropped too
+        deg = np.array([[0, 0, 1]], np.int32)
+        pv2, pf2, _ = post_process_mesh(verts, np.concatenate([fan, deg]),
+                                        None, cluster_to_keep=1)
+        assert len(pf2) == n
 
     def test_mesh_ply_roundtrip(self, tmp_path):
         verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
