@@ -18,6 +18,7 @@ P=100k).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Low-pass filter added to the 2D covariance diagonal so every splat is at
@@ -115,12 +116,22 @@ def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     return jnp.stack([a, b, c], -1)
 
 
-def conic_and_radius(cov2d: jnp.ndarray):
+def conic_and_radius(cov2d: jnp.ndarray, opacity=None):
     """Invert 2D covariance and compute the 3-sigma pixel radius
     (forward.cu:219-232).
 
     Returns (conic [P,3], radius [P] float, valid [P] bool). Invalid
     (det==0) splats get radius 0.
+
+    When ``opacity`` [P] is given, a fourth array is returned: the
+    OPACITY-AWARE binning radius. The blend skips samples with
+    alpha = o*exp(-q/2) < 1/255 (forward.cu:377-380 and both TPU blend
+    paths), so the splat's true support is q <= 2*ln(255*o); the radius
+    sqrt(min(9, 2*ln(255*o)) * lam_max) bounds that support and is never
+    larger than the reference's 3-sigma radius. Binning with it produces
+    BIT-IDENTICAL output with fewer (tile, splat) pairs — low-opacity
+    splats (o < 0.353) shrink, and o <= 1/255 splats (which cannot pass
+    the alpha threshold anywhere) drop out entirely.
     """
     a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det = a * c - b * b
@@ -131,4 +142,16 @@ def conic_and_radius(cov2d: jnp.ndarray):
     sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam_max = mid + sq
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
-    return conic, jnp.where(valid, radius, 0.0), valid
+    radius = jnp.where(valid, radius, 0.0)
+    if opacity is None:
+        return conic, radius, valid
+    o = jax.lax.stop_gradient(opacity.reshape(-1))
+    # +0.05 q-margin: the blend evaluates alpha = o*exp(power) in f32 and
+    # can round a just-outside sample up to the 1/255 threshold; the
+    # margin (sub-pixel in radius) keeps every such borderline sample
+    # inside the binned support so the output matches 3-sigma binning.
+    qmax = jnp.minimum(9.0, 2.0 * jnp.log(jnp.maximum(255.0 * o, 1e-12))
+                       + 0.05)
+    r_bin = jnp.ceil(jnp.sqrt(jnp.maximum(qmax, 0.0)
+                              * jnp.maximum(lam_max, 0.0)))
+    return conic, radius, valid, jnp.where(valid, r_bin, 0.0)

@@ -86,6 +86,7 @@ def preprocess(
     tile_w: int = 128,
     tile_h: int = 8,
     mean2d_offset: Optional[jnp.ndarray] = None,
+    opacity: Optional[jnp.ndarray] = None,
 ) -> ProcessedSplats:
     """Vectorized splat preprocess (forward.cu:156-268).
 
@@ -121,15 +122,34 @@ def preprocess(
         scales, quats, scale_modifier)
     cov2d = compute_cov2d(means3d, cov3d, cam.w2c,
                           cam.focal_x, cam.focal_y, cam.tan_fovx, cam.tan_fovy)
-    conic, radius, det_ok = conic_and_radius(cov2d)
+    if opacity is None:
+        conic, radius, det_ok = conic_and_radius(cov2d)
+        r_bin = radius
+    else:
+        # opacity-aware binning radius: bit-identical output with fewer
+        # pairs — the blend skips alpha < 1/255 samples anyway (see
+        # covariance.conic_and_radius). `radius` (reported for densify
+        # stats) stays the reference's 3-sigma value.
+        conic, radius, det_ok, r_bin = conic_and_radius(cov2d, opacity)
 
     # Tile AABB (auxiliary.h getRect), exclusive max
     grid_x = (cam.width + tile_w - 1) // tile_w
     grid_y = (cam.height + tile_h - 1) // tile_h
-    rmin_x = jnp.clip(((mean2d[..., 0] - radius) / tile_w).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((mean2d[..., 1] - radius) / tile_h).astype(jnp.int32), 0, grid_y)
+    rmin_x = jnp.clip(((mean2d[..., 0] - r_bin) / tile_w).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((mean2d[..., 1] - r_bin) / tile_h).astype(jnp.int32), 0, grid_y)
     rmax_x = jnp.clip(((mean2d[..., 0] + radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, grid_x)
     rmax_y = jnp.clip(((mean2d[..., 1] + radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y)
+    if opacity is not None:
+        # getRect's `(int)((p + r + tile - 1) / tile)` under-covers float
+        # centers when p + r lands in [tile*t, tile*t + 1) — a dead zone
+        # whose position shifts with r. The 3-sigma rect above reproduces
+        # the reference's coverage exactly; the tight rect must therefore
+        # be a proper ceil on r_bin INTERSECTED with it, so coverage is
+        # exactly the reference's minus provably sub-threshold tiles.
+        rmax_x = jnp.minimum(rmax_x, jnp.clip(jnp.floor(
+            (mean2d[..., 0] + r_bin) / tile_w).astype(jnp.int32) + 1, 0, grid_x))
+        rmax_y = jnp.minimum(rmax_y, jnp.clip(jnp.floor(
+            (mean2d[..., 1] + r_bin) / tile_h).astype(jnp.int32) + 1, 0, grid_y))
     tiles = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     visible = in_front & det_ok & (tiles > 0)

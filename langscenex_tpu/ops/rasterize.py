@@ -50,6 +50,10 @@ class RasterConfig:
     chunk: int = 128            # splats blended per scan step
     max_splats_per_tile: int = 4096  # per-tile list truncation (XLA path only)
     use_pallas: Optional[bool] = None  # None = auto (fused kernel on TPU)
+    # Bin with the opacity-aware support radius (bit-identical output,
+    # fewer pairs — see covariance.conic_and_radius); False = the
+    # reference's literal 3-sigma AABB.
+    opacity_aware_radius: bool = True
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -204,7 +208,8 @@ def rasterize(
     proc = preprocess(means3d, scales, quats, cam, shs=shs, sh_degree=sh_degree,
                       colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
                       scale_modifier=scale_modifier, tile_w=cfg.tile_w,
-                      tile_h=cfg.tile_h, mean2d_offset=mean2d_offset)
+                      tile_h=cfg.tile_h, mean2d_offset=mean2d_offset,
+                      opacity=opacity if cfg.opacity_aware_radius else None)
     lists = build_tile_lists(proc, grid_x, grid_y, cfg.max_tiles_per_splat,
                              max_pairs=cfg.max_pairs)
 

@@ -263,7 +263,8 @@ def view_loss(cfg: OptimizationConfig, flags: StepFlags, rcfg: RasterConfig,
             pixel_noise_th=cfg.multi_view_pixel_noise_th,
             geo_weight=cfg.multi_view_geo_weight,
             ncc_weight=cfg.multi_view_ncc_weight,
-            wo_geo_occ_aware=cfg.wo_use_geo_occ_aware)
+            wo_geo_occ_aware=cfg.wo_use_geo_occ_aware,
+            ncc_dense=cfg.multi_view_dense_ncc)
         has = batch.has_near.astype(jnp.float32)
         total = total + has * (mv.geo_loss + mv.ncc_loss)
         metrics['geo_loss'] = mv.geo_loss

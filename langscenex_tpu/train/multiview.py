@@ -11,6 +11,24 @@ pixels without replacement when there are more than sample_num valid ones;
 here a fixed-size random permutation subset is taken from ALL pixels and
 invalid ones are masked to weight zero — statistically equivalent
 supervision with static shapes.
+
+Two NCC formulations:
+
+- ``ncc_dense=False`` — the reference's literal shape: gather a 7x7 patch
+  around each of the 102,400 sampled centers from both images (the near
+  image through the center pixel's plane homography). That is ~5M
+  scattered bilinear samples; on TPU those lower to transaction-bound
+  gathers and dominate the multiview step (see PARITY "Measured").
+- ``ncc_dense=True`` (default) — TPU-first: warp the near image into the
+  reference frame ONCE PER PIXEL, each pixel through ITS OWN plane
+  homography (H*W samples, 49x fewer), then compute windowed NCC densely
+  with edge-padded box sums (reduce_window — no gathers), and only then
+  gather the sampled centers' scalar NCC values. When the rendered
+  normal/distance field is constant over a patch the two forms are
+  EXACTLY equal (the homography is then patch-constant, so every warped
+  sample coincides); they differ only across geometry discontinuities,
+  where the per-pixel-plane warp is the better-posed choice. Equality on
+  constant-plane fields is asserted in tests/test_losses.py.
 """
 from __future__ import annotations
 
@@ -36,6 +54,33 @@ def _rays(H: int, W: int, fx, fy, cx, cy):
     return jnp.stack([(gx - cx) / fx, (gy - cy) / fy, jnp.ones_like(gx)], -1)
 
 
+def _box_sums(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(2r+1)^2 VALID window sums of an already r-extended [H+2r, W+2r]
+    array -> [H, W]."""
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                 (2 * r + 1, 2 * r + 1), (1, 1), 'VALID')
+
+
+def _lncc_dense(ref: jnp.ndarray, nea: jnp.ndarray, r: int):
+    """Windowed NCC map from r-extended [H+2r, W+2r] images; same
+    formula/eps as ops.losses.lncc on gathered patches. Returns
+    (ncc [H,W], mask [H,W])."""
+    tps = (2 * r + 1) ** 2
+    ref_sum = _box_sums(ref, r)
+    nea_sum = _box_sums(nea, r)
+    ref2_sum = _box_sums(ref * ref, r)
+    nea2_sum = _box_sums(nea * nea, r)
+    ref_nea_sum = _box_sums(ref * nea, r)
+    ref_avg = ref_sum / tps
+    nea_avg = nea_sum / tps
+    cross = ref_nea_sum - nea_avg * ref_sum
+    ref_var = ref2_sum - ref_avg * ref_sum
+    nea_var = nea2_sum - nea_avg * nea_sum
+    cc = cross * cross / (ref_var * nea_var + 1e-8)
+    ncc = jnp.clip(1.0 - cc, 0.0, 2.0)
+    return ncc, ncc < 0.9
+
+
 def multi_view_loss(key: jax.Array,
                     plane_depth: jnp.ndarray,        # [H,W] view cam
                     rendered_normal: jnp.ndarray,    # [3,H,W] camera-frame
@@ -52,7 +97,8 @@ def multi_view_loss(key: jax.Array,
                     geo_weight: float = 0.03,
                     ncc_weight: float = 0.15,
                     wo_geo_occ_aware: bool = False,
-                    compute_ncc: bool = True) -> MultiViewOut:
+                    compute_ncc: bool = True,
+                    ncc_dense: bool = True) -> MultiViewOut:
     H, W = plane_depth.shape
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
@@ -106,6 +152,48 @@ def multi_view_loss(key: jax.Array,
     sel = jax.random.permutation(key, npx)[:take]
     sel_w = weights[sel]
     sel_pix = pixels[sel]
+
+    if ncc_dense:
+        # per-pixel plane homography applied at the pixel's own location,
+        # over an r-extended pixel grid so border windows see the same
+        # out-of-image warps as the reference's gathered patches (whose
+        # offsets run past the border and are warped, THEN border-clamped)
+        r = patch_size
+        He, We = H + 2 * r, W + 2 * r
+        R_rel = Rn @ Rv.T
+        t_rel = -R_rel @ tv + tn
+        ne = jnp.pad(rendered_normal, ((0, 0), (r, r), (r, r)), mode='edge')
+        de = jnp.pad(rendered_distance, r, mode='edge')
+        n_all = ne.reshape(3, -1).T                              # [HeWe,3]
+        d_all = de.reshape(-1)
+        exi = jnp.arange(We, dtype=jnp.float32) - r
+        eyi = jnp.arange(He, dtype=jnp.float32) - r
+        egx, egy = jnp.meshgrid(exi, eyi, indexing='xy')
+        epix = jnp.stack([egx, egy], -1).reshape(-1, 2)
+        # per-pixel homography composed EXACTLY as the patch branch does
+        # (K @ (R_rel - t n^T/d) @ Kinv, then applied to [x,y,1]) so that on
+        # a patch-constant plane the warp coordinates — and their gradients —
+        # are bitwise-identical to the gathered-patch form
+        Kinv = jnp.linalg.inv(K)
+        Hmat = (R_rel[None] - t_rel[None, :, None] * n_all[:, None, :]
+                / (d_all[:, None, None] + 1e-12))                # [HeWe,3,3]
+        Hmat = K[None] @ Hmat @ Kinv[None]
+        homo = jnp.concatenate([epix, jnp.ones((He * We, 1))], -1)
+        warped = jnp.einsum('pij,pj->pi', Hmat, homo)
+        wxy = warped[:, :2] / (warped[:, 2:] + 1e-10)
+        near_warp = bilinear_sample_border(near_gt_gray, wxy)[0]
+        ref_ext = bilinear_sample_border(
+            gt_gray, epix).reshape(He, We)                       # clamped
+        ncc_map, mask_map = _lncc_dense(
+            jax.lax.stop_gradient(ref_ext), near_warp.reshape(He, We),
+            patch_size)
+        ncc_v = ncc_map.reshape(-1)[sel]
+        m = mask_map.reshape(-1)[sel] & (sel_w > 0)
+        ncc = ncc_v * sel_w
+        ncc_loss = (ncc_weight * jnp.sum(jnp.where(m, ncc, 0.0))
+                    / jnp.maximum(jnp.sum(m), 1))
+        return MultiViewOut(geo_loss=geo_loss, ncc_loss=ncc_loss,
+                            n_valid=n_valid)
 
     ps = 2 * patch_size + 1
     offs = jnp.stack(jnp.meshgrid(jnp.arange(-patch_size, patch_size + 1, dtype=jnp.float32),

@@ -62,6 +62,9 @@ class OptimizationConfig:
     multi_view_patch_size: int = 3
     multi_view_sample_num: int = 102_400
     multi_view_pixel_noise_th: float = 1.0
+    # TPU-first dense windowed NCC (see train/multiview.py docstring);
+    # False = the reference's literal gathered-patch formulation
+    multi_view_dense_ncc: bool = True
     wo_use_geo_occ_aware: bool = False
 
     exposure_compensation: bool = False

@@ -197,3 +197,70 @@ class TestDepthNormal:
         n = np.asarray(normal_from_depth(depth, K))
         inner = n[5:-5, 5:-5]
         assert np.std(inner[..., 0]) < 0.05  # consistent orientation
+
+
+class TestMultiViewDenseNCC:
+    """The TPU-first dense windowed NCC (train/multiview.py ncc_dense=True)
+    must EXACTLY match the reference's gathered-patch formulation whenever
+    the rendered normal/distance field is patch-constant (the homography is
+    then identical for every sample of a patch)."""
+
+    def _setup(self, seed=0, H=40, W=56):
+        from langscenex_tpu.train.multiview import multi_view_loss
+        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        fx = fy = 60.0
+        K = jnp.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1.0]])
+        # constant fronto-parallel plane at depth 3 (camera frame)
+        plane_depth = jnp.full((H, W), 3.0)
+        normal = jnp.zeros((3, H, W)).at[2].set(-1.0)
+        distance = jnp.full((H, W), 3.0)
+        # near camera: small translation
+        view_w2c = jnp.eye(4)
+        near_w2c = jnp.eye(4).at[0, 3].set(0.15)
+        near_depth = jnp.full((H, W), 3.0)
+        gt = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
+        near_gt = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
+        args = (key, plane_depth, normal, distance, near_depth, gt, near_gt,
+                view_w2c, near_w2c, K)
+        kw = dict(patch_size=2, sample_num=512)
+        return multi_view_loss, args, kw
+
+    def test_dense_equals_patch_on_constant_plane(self):
+        mv, args, kw = self._setup()
+        out_p = mv(*args, ncc_dense=False, **kw)
+        out_d = mv(*args, ncc_dense=True, **kw)
+        np.testing.assert_allclose(float(out_d.geo_loss),
+                                   float(out_p.geo_loss), rtol=1e-6)
+        np.testing.assert_allclose(float(out_d.ncc_loss),
+                                   float(out_p.ncc_loss), rtol=2e-4)
+
+    def test_dense_grads_match_patch_on_constant_plane(self):
+        """The two forms place per-pixel gradients differently by
+        construction (patch: all 49 samples bill the center pixel; dense:
+        each sample bills its own pixel), so pointwise fields are not
+        comparable — but the TOTAL derivative through a parameter shared
+        by every pixel (a global distance/normal perturbation) must
+        agree on a constant plane, where the losses are equal."""
+        mv, args, kw = self._setup(seed=3)
+        key, plane_depth, normal, distance = args[0], args[1], args[2], args[3]
+        rest = args[4:]
+
+        def loss(eps, dense):
+            o = mv(key, plane_depth, normal, distance + eps, *rest,
+                   ncc_dense=dense, **kw)
+            return o.ncc_loss
+
+        gp = float(jax.grad(loss)(jnp.zeros(()), False))
+        gd = float(jax.grad(loss)(jnp.zeros(()), True))
+        assert gp != 0.0
+        np.testing.assert_allclose(gd, gp, rtol=5e-2)
+
+        def loss_n(eps, dense):
+            o = mv(key, plane_depth, normal + eps * 0.1, distance, *rest,
+                   ncc_dense=dense, **kw)
+            return o.ncc_loss
+
+        gp = float(jax.grad(loss_n)(jnp.zeros(()), False))
+        gd = float(jax.grad(loss_n)(jnp.zeros(()), True))
+        np.testing.assert_allclose(gd, gp, rtol=5e-2)

@@ -272,3 +272,47 @@ class TestBinning:
             ids = pl[starts[t]:starts[t] + counts[t]]
             d = depth[ids]
             assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
+
+
+class TestOpacityAwareBinning:
+    """opacity_aware_radius bins with the alpha-support radius
+    (covariance.conic_and_radius): output must match 3-sigma binning to
+    float-reassociation noise while producing strictly fewer pairs on a
+    low-opacity scene, and the reported densify radii must stay 3-sigma."""
+
+    def _render(self, flag, means, scales, quats, opacity, colors, cam):
+        cfg = RasterConfig(tile_w=16, tile_h=8, max_tiles_per_splat=64,
+                           chunk=32, max_splats_per_tile=256,
+                           opacity_aware_radius=flag, use_pallas=False)
+        return rasterize(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), jnp.asarray(opacity), cam,
+                         jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                         cfg=cfg)
+
+    def test_output_identical_fewer_pairs(self):
+        cam = make_camera(W=64, H=32)
+        means, scales, quats, _, colors = random_scene(P=120, seed=5)
+        rng = np.random.default_rng(5)
+        opacity = rng.uniform(0.0, 0.4, 120).astype(np.float32)  # low-o heavy
+        a = self._render(False, means, scales, quats, opacity, colors, cam)
+        b = self._render(True, means, scales, quats, opacity, colors, cam)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a.final_T),
+                                   np.asarray(b.final_T), atol=2e-5)
+
+        p0 = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                        jnp.asarray(quats), cam,
+                        colors_precomp=jnp.asarray(colors),
+                        tile_w=16, tile_h=8)
+        p1 = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                        jnp.asarray(quats), cam,
+                        colors_precomp=jnp.asarray(colors),
+                        tile_w=16, tile_h=8, opacity=jnp.asarray(opacity))
+        n0 = int(np.sum(np.asarray(p0.tiles_touched)))
+        n1 = int(np.sum(np.asarray(p1.tiles_touched)))
+        assert n1 < n0, (n1, n0)
+        # densify stats parity: radii of surviving splats stay 3-sigma
+        vis = np.asarray(p1.visible)
+        np.testing.assert_array_equal(np.asarray(p0.radius)[vis],
+                                      np.asarray(p1.radius)[vis])
