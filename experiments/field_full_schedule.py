@@ -1,0 +1,178 @@
+"""Full reference-schedule field construction wall-clock on ONE chip.
+
+Substantiates the PARITY projection ("12k-iteration schedule in ~35-45
+min on one v5e") with an actual run through the REAL pipeline code path:
+builds a reference-scale synthetic scene on disk (49 views, 720x480,
+~170k-point init cloud, per-view 3-d language features + seg maps per
+the stage-3 *_f.npy/*_s.npy contract), then drives
+FieldConstructionPipeline.construct_field -> GaussianFieldTrainer.train
+through the reference's full 12,000-iteration schedule
+(configs/field_construction.yaml:66-121): pose optimization,
+densification 500-1200, single+multi-view phase 500-2000 (dense NCC),
+language phase from 1200, semantic-only 1500-12000, test_iterations
+validation reports and 200-iter debug collages — and reports per-phase
+and total wall-clock (compile time separated out via the first-step cost
+of each phase).
+
+Run:  timeout 6000 python experiments/field_full_schedule.py /tmp/ffs
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from PIL import Image
+
+
+def build_scene(root: str, n_views: int = 49, W: int = 720, H: int = 480,
+                n_pts: int = 170_000) -> None:
+    """Reference-scale CUT3R-contract scene + stage-3 language artifacts."""
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "input"), exist_ok=True)
+    os.makedirs(os.path.join(root, "camera"), exist_ok=True)
+    lang_dir = os.path.join(root, "lang_features_dim3")
+    os.makedirs(lang_dir, exist_ok=True)
+
+    # --- point cloud: clustered blobs in front of the camera arc ------
+    n_blob = 40
+    centers = np.stack([rng.uniform(-2.5, 2.5, n_blob),
+                        rng.uniform(-1.5, 1.5, n_blob),
+                        rng.uniform(3.0, 9.0, n_blob)], -1)
+    blob_cols = rng.uniform(0.1, 0.9, (n_blob, 3))
+    which = rng.integers(0, n_blob, n_pts)
+    pts = (centers[which]
+           + rng.normal(0, 0.25, (n_pts, 3))).astype(np.float32)
+    cols = np.clip(blob_cols[which]
+                   + rng.normal(0, 0.05, (n_pts, 3)), 0, 1).astype(np.float32)
+    from langscenex_tpu.scene.dataset_readers import write_ply_points
+    write_ply_points(os.path.join(root, "points3D.ply"), pts, cols)
+
+    # --- cameras: smooth arc, CUT3R npz contract ----------------------
+    f = 600.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    # world-space projection of the blobs gives smooth, parallax-consistent
+    # images (pure noise GT would make densification adversarial)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for i in range(n_views):
+        ang = (i / (n_views - 1) - 0.5) * 0.5          # ±14 deg arc
+        c, s = np.cos(ang), np.sin(ang)
+        Rz = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        cam_center = Rz @ np.array([0.0, 0.0, -1.0]) + [0, 0, 0.0]
+        pose = np.eye(4)                                # cam-to-world
+        pose[:3, :3] = Rz
+        pose[:3, 3] = cam_center
+        np.savez(os.path.join(root, "camera", f"{i + 1:04d}.npz"),
+                 pose=pose, intrinsics=K)
+        # render the blob centers as soft color splats (painter's order)
+        w2c = np.linalg.inv(pose)
+        pc = (w2c[:3, :3] @ centers.T + w2c[:3, 3:4]).T
+        img = np.zeros((H, W, 3), np.float32)
+        img[..., :] = 0.08
+        order = np.argsort(-pc[:, 2])                   # far to near
+        for b in order:
+            X, Y, Z = pc[b]
+            if Z < 0.5:
+                continue
+            u, v = f * X / Z + W / 2, f * Y / Z + H / 2
+            r = f * 0.55 / Z
+            g = np.exp(-(((xx - u) ** 2 + (yy - v) ** 2)
+                         / (2 * (r / 2) ** 2)))
+            img = img * (1 - 0.9 * g[..., None]) \
+                + 0.9 * g[..., None] * blob_cols[b]
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(root, "input", f"{i + 1:04d}.png"))
+        # stage-3 contract: per-view 3-d feature map + seg ids (half res,
+        # the extractor's working scale; trainer resizes per the contract)
+        sh, sw = H // 2, W // 2
+        seg = np.full((sh, sw), -1, np.int64)
+        feat = np.zeros((3, sh, sw), np.float32)
+        syy, sxx = np.mgrid[0:sh, 0:sw]
+        best = np.full((sh, sw), np.inf)
+        for b in order:
+            X, Y, Z = pc[b]
+            if Z < 0.5:
+                continue
+            u, v = (f * X / Z + W / 2) / 2, (f * Y / Z + H / 2) / 2
+            d2 = (sxx - u) ** 2 + (syy - v) ** 2
+            m = (d2 < (f * 0.55 / Z / 2) ** 2) & (d2 < best)
+            seg[m] = b
+            best[m] = d2[m]
+        for b in np.unique(seg[seg >= 0]):
+            feat[:, seg == b] = blob_cols[b][:, None]
+        np.save(os.path.join(lang_dir, f"{i + 1:04d}_f.npy"), feat[None])
+        np.save(os.path.join(lang_dir, f"{i + 1:04d}_s.npy"), seg)
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ffs"
+    if not os.path.exists(os.path.join(root, "points3D.ply")):
+        t0 = time.perf_counter()
+        build_scene(root)
+        print(f"scene built in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from langscenex_tpu.pipeline import (FieldConstructionPipeline,
+                                         PipelinePaths)
+    pipe = FieldConstructionPipeline(
+        PipelinePaths(data_path=root, skip_video_process=True,
+                      skip_pose_estimate=True,
+                      skip_lang_feature_extraction=True))
+
+    times = {}                                   # iteration -> wall time
+    alive = {}                                   # milestone -> alive count
+    milestones = {1, 100, 500, 1200, 1201, 1500, 1501, 2000, 5000, 12000}
+
+    import langscenex_tpu.train.field as field_mod
+    orig_train = field_mod.GaussianFieldTrainer.train
+
+    def cb(it, state, m):
+        times[it] = time.perf_counter()
+        if it in milestones:                     # fetch only at milestones:
+            alive[it] = int(state.splats.num_alive)   # a per-iter fetch
+            print(f"[{it}] alive={alive[it]} "        # costs a tunnel RTT
+                  f"t={times[it] - times[1]:.1f}s", flush=True)
+
+    def timed_train(self, *a, **kw):
+        kw["callback"] = cb
+        return orig_train(self, *a, **kw)
+
+    field_mod.GaussianFieldTrainer.train = timed_train
+
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else None  # smoke knob
+    t0 = time.perf_counter()
+    state, metrics = pipe.construct_field(iterations=iters)
+    t_train = time.perf_counter() - t0
+    final_it = iters or pipe.cfg.opt.iterations
+    t0 = time.perf_counter()
+    pipe.render_result(load_iteration=final_it)
+    t_render = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    results = pipe.eval(load_iteration=final_it)
+    t_eval = time.perf_counter() - t0
+
+    # --- phase report -------------------------------------------------
+    bounds = [(1, 500, "geometry(+pose)"),
+              (501, 1200, "geo+single+multi (densify)"),
+              (1201, 1500, "geo+multi+language"),
+              (1501, 12000, "semantic_only")]
+    print("\n=== full-schedule report ===", flush=True)
+    for lo, hi, name in bounds:
+        if lo in times and hi in times:
+            dt = times[hi] - times[lo]
+            n = hi - lo
+            print(f"{name:28s} it {lo:>5}-{hi:<5} {dt:7.1f}s "
+                  f"({n / dt:5.2f} it/s) alive={alive.get(hi, 0)}",
+                  flush=True)
+    print(f"train total  {t_train:7.1f}s  ({t_train / 60:.1f} min)")
+    print(f"render       {t_render:7.1f}s   eval {t_eval:7.1f}s")
+    psnrs = [r["psnr"] for r in results]
+    print(f"eval psnr    {np.mean(psnrs):.2f} over {len(psnrs)} views")
+    print(json.dumps({
+        "metric": "field_full_schedule_min",
+        "value": round(t_train / 60, 2), "unit": "min",
+        "alive_final": int(state.splats.num_alive),
+        "eval_psnr": round(float(np.mean(psnrs)), 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
