@@ -146,8 +146,21 @@ def main():
     t0 = time.perf_counter()
     pipe.render_result(load_iteration=final_it)
     t_render = time.perf_counter() - t0
+    # eval protocol on a test subset (every 8th view — the reference's
+    # eval runs its designated test views, not every frame; 100
+    # pose-optim iters per view makes all-49 ~30 min of pure eval)
+    from langscenex_tpu.scene.dataset_readers import load_scene
+    from langscenex_tpu.scene.ply_io import load_ply
+    from langscenex_tpu.train.render_mode import eval_result
+    out = os.path.join(root, "output")
+    splats = load_ply(os.path.join(
+        out, f"point_cloud/iteration_{final_it}", "point_cloud.ply"),
+        pipe.cfg.dataset.sh_degree)
+    info = load_scene(root, kind="cut3r", shuffle=False)
     t0 = time.perf_counter()
-    results = pipe.eval(load_iteration=final_it)
+    results = eval_result(splats, info.cameras[::8], out,
+                          sh_degree=pipe.cfg.dataset.sh_degree,
+                          pose_optim_iters=pipe.cfg.render.pose_optim_iter)
     t_eval = time.perf_counter() - t0
 
     # --- phase report -------------------------------------------------

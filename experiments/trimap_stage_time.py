@@ -69,8 +69,10 @@ def main():
     vae_encode = jax.jit(lambda imgs: vae.apply(
         vae_params, imgs.astype(jnp.bfloat16),
         method=AutoencoderKL3D.encode)[0])
-    vae_decode = jax.jit(lambda z: vae.apply(
+    from langscenex_tpu.models.cogvideox.vae import spatial_tile_decode
+    _decode_one = jax.jit(lambda z: vae.apply(
         vae_params, z.astype(jnp.bfloat16), method=AutoencoderKL3D.decode))
+    vae_decode = lambda z: spatial_tile_decode(_decode_one, z)
     pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
                                  DDIMScheduler(), pcfg)
 

@@ -99,8 +99,16 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
     denoiser = jax.jit(lambda lat, txt, t: dit.apply(dit_params, lat, txt, t))
     vae_encode = jax.jit(lambda imgs: vae.apply(
         vae_params, imgs, method=AutoencoderKL3D.encode)[0])
-    vae_decode = jax.jit(lambda z: vae.apply(
+    _decode_one = jax.jit(lambda z: vae.apply(
         vae_params, z, method=AutoencoderKL3D.decode))
+    if tiny:
+        vae_decode = _decode_one
+    else:
+        # enable_tiling parity (reference video_inference.py:29-30): a
+        # full 49x480x720 decode holds multi-GB decoder activations on
+        # top of the resident DiT — tile spatially and blend seams
+        from .models.cogvideox.vae import spatial_tile_decode
+        vae_decode = lambda z: spatial_tile_decode(_decode_one, z)
     text = TextEncoder(t5_path, embed_dim=text_dim)
     pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
                                  DDIMScheduler(), pcfg)
