@@ -23,7 +23,8 @@ class TileLists(NamedTuple):
     tile_starts: jnp.ndarray   # [n_tiles] int32 start index into point_list
     tile_counts: jnp.ndarray   # [n_tiles] int32
     num_pairs: jnp.ndarray     # [] int32 total valid pairs
-    overflowed: jnp.ndarray    # [] bool: some splat touched > K tiles
+    overflowed: jnp.ndarray    # [] bool: K or max_pairs truncated
+    k_overflowed: jnp.ndarray = None  # [] bool: K alone truncated
 
 
 def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
@@ -69,7 +70,8 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
         (key_tile, key_depth, splat_id), num_keys=2)
 
     num_pairs = jnp.sum(valid.astype(jnp.int32))
-    overflowed = jnp.any(proc.tiles_touched > K)
+    k_overflowed = jnp.any(proc.tiles_touched > K)
+    overflowed = k_overflowed
     if max_pairs is not None and max_pairs < sorted_tile.shape[0]:
         sorted_tile = sorted_tile[:max_pairs]
         point_list = point_list[:max_pairs]
@@ -81,4 +83,5 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                                  side='right').astype(jnp.int32)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_ends - tile_starts,
-                     num_pairs=num_pairs, overflowed=overflowed)
+                     num_pairs=num_pairs, overflowed=overflowed,
+                     k_overflowed=k_overflowed)

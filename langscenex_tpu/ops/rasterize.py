@@ -74,6 +74,8 @@ class RenderOutput(NamedTuple):
     out_observe: jnp.ndarray      # [P] int32
     visible: jnp.ndarray          # [P] bool
     pairs_overflowed: jnp.ndarray  # [] bool: K or max_pairs truncated
+    k_overflowed: Optional[jnp.ndarray] = None   # [] bool: K truncated
+    num_pairs: Optional[jnp.ndarray] = None      # [] int32 valid pairs
 
 
 def _tile_pixel_coords(grid_x: int, grid_y: int, tile_h: int, tile_w: int):
@@ -263,4 +265,6 @@ def rasterize(
                         all_map=out_all_map, plane_depth=plane_depth,
                         final_T=final_T, radii=proc.radius,
                         out_observe=observe, visible=proc.visible,
-                        pairs_overflowed=lists.overflowed)
+                        pairs_overflowed=lists.overflowed,
+                        k_overflowed=lists.k_overflowed,
+                        num_pairs=lists.num_pairs)

@@ -311,6 +311,10 @@ def view_loss(cfg: OptimizationConfig, flags: StepFlags, rcfg: RasterConfig,
 
     metrics['total'] = total
     metrics['pair_overflow'] = out.pairs_overflowed.astype(jnp.float32)
+    if out.k_overflowed is not None:
+        metrics['k_overflow'] = out.k_overflowed.astype(jnp.float32)
+    if out.num_pairs is not None:
+        metrics['num_pairs'] = out.num_pairs.astype(jnp.float32)
     aux = (metrics, out.radii, out.out_observe, out.visible)
     return total, aux
 
@@ -596,6 +600,52 @@ class GaussianFieldTrainer:
                 self.scene_extent)
         return self._steps[flags]
 
+    def _grow_pair_caps(self, metrics) -> None:
+        """Adaptive binning-capacity growth: when a step reports pair
+        truncation, double the offending static cap (max_pairs for the
+        sorted-pair list, K=max_tiles_per_splat for per-splat tile
+        duplication) and drop the jitted steps so the next call
+        recompiles at the new shapes. Truncation is therefore bounded to
+        <=100 iters per growth instead of silently degrading every
+        render for the rest of the run (the CUDA reference never
+        truncates — its pair list is dynamically sized,
+        rasterizer_impl.cu:285-328)."""
+        import logging
+        import math
+        log_ = logging.getLogger(__name__)
+        k_hit = float(metrics.get('k_overflow', 0.0)) > 0
+        P = int(self.state.splats.capacity)
+        grew = False
+        if k_hit:
+            grid_x = -(-self.proxy_cam.width // self.rcfg.tile_w)
+            grid_y = -(-self.proxy_cam.height // self.rcfg.tile_h)
+            new_k = min(2 * self.rcfg.max_tiles_per_splat, grid_x * grid_y)
+            if new_k > self.rcfg.max_tiles_per_splat:
+                self.rcfg = dataclasses.replace(
+                    self.rcfg, max_tiles_per_splat=new_k)
+                grew = True
+        mp = self.rcfg.max_pairs
+        if not k_hit and mp is not None:
+            natural = P * self.rcfg.max_tiles_per_splat
+            npairs = float(metrics.get('num_pairs', math.inf))
+            target = max(2 * mp, int(1.25 * npairs) if npairs < math.inf
+                         else 0)
+            new_mp = min(target, natural)
+            if new_mp > mp:
+                self.rcfg = dataclasses.replace(self.rcfg, max_pairs=new_mp)
+                grew = True
+        if grew:
+            self._steps.clear()
+            log_.warning(
+                "pair list overflowed — growing caps to max_pairs=%s "
+                "K=%d (recompile)", self.rcfg.max_pairs,
+                self.rcfg.max_tiles_per_splat)
+        else:
+            log_.warning(
+                "pair list overflowed at the hard ceiling (max_pairs=%s "
+                "K=%d) — renders truncated", self.rcfg.max_pairs,
+                self.rcfg.max_tiles_per_splat)
+
     # ---------------- pose export ----------------
 
     def poses_as_matrices(self, poses=None) -> np.ndarray:
@@ -797,11 +847,7 @@ class GaussianFieldTrainer:
 
             if metrics.get('pair_overflow') is not None and it % 100 == 0 \
                     and float(metrics['pair_overflow']) > 0:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "pair list overflowed (max_pairs=%s or K=%d too "
-                    "small) — renders truncated; raise the caps",
-                    self.rcfg.max_pairs, self.rcfg.max_tiles_per_splat)
+                self._grow_pair_caps(metrics)
             if log_every and it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 # EMA postfix (decay 0.4/0.6, gaussian_field.py:490-511)

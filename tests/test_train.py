@@ -339,3 +339,58 @@ class TestPerPointOptimizer:
         np.testing.assert_allclose(np.asarray(reset.per_point_lr)[60], 1.0)
         assert np.all(np.asarray(reset.mu['xyz'] if isinstance(reset.mu, dict)
                                  else reset.mu)[60] == 0)
+
+
+class TestAdaptivePairCaps:
+    """_grow_pair_caps: overflow-driven growth of the static binning caps
+    (max_pairs / K) with step-cache invalidation."""
+
+    def _trainer(self, rcfg):
+        cams = make_cams(n=3)
+        pts, colors = gt_scene(P=40)
+        gt_imgs = render_gt_images(cams, pts, colors)
+        for c, img in zip(cams, gt_imgs):
+            c.image = np.clip(img, 0, 1)
+            c.image_gray = rgb_to_gray(c.image)
+        splats = create_from_points(pts, colors, capacity=64)
+        cfg = OptimizationConfig(
+            iterations=110, max_geo_iter=1000,
+            single_view_weight_from_iter=10_000,
+            multi_view_weight_from_iter=10_000, lang_loss_start_iter=10_000,
+            densify_from_iter=10_000, optim_pose=False,
+            loss_obj_3d=False, grouping_loss=False)
+        return GaussianFieldTrainer(cams, splats, cfg, scene_extent=4.0,
+                                    rcfg=rcfg)
+
+    def test_max_pairs_growth_unit(self):
+        tr = self._trainer(dataclasses.replace(RCFG, max_pairs=128))
+        tr._steps['sentinel'] = object()
+        tr._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 0.0,
+                            'num_pairs': 1000.0})
+        assert tr.rcfg.max_pairs == min(1250, 64 * RCFG.max_tiles_per_splat)
+        assert not tr._steps  # cache dropped -> recompile at new shapes
+
+    def test_k_growth_unit(self):
+        tr = self._trainer(dataclasses.replace(RCFG, max_tiles_per_splat=4))
+        tr._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 1.0})
+        assert tr.rcfg.max_tiles_per_splat == 8
+        # K already at the whole grid (3x4 tiles): no further growth
+        tr2 = self._trainer(RCFG)  # K=64 > 12 tiles
+        tr2._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 1.0})
+        assert tr2.rcfg.max_tiles_per_splat == RCFG.max_tiles_per_splat
+
+    def test_ceiling_no_growth(self):
+        tr = self._trainer(RCFG)  # default: max_pairs = 64k floor > P*K
+        mp0, steps = tr.rcfg.max_pairs, dict(tr._steps)
+        tr._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 0.0,
+                            'num_pairs': 99999.0})
+        # natural P*K ceiling already covered by the floor: no change
+        assert tr.rcfg.max_pairs == mp0
+
+    def test_growth_in_training_loop(self):
+        # max_pairs far below the real pair count: the it=100 check must
+        # grow the cap and training must continue at the new shapes
+        tr = self._trainer(dataclasses.replace(RCFG, max_pairs=64))
+        state, metrics = tr.train(iterations=105)
+        assert tr.rcfg.max_pairs > 64
+        assert np.isfinite(float(metrics['image_loss']))
