@@ -120,9 +120,11 @@ class LayerNormZero(nn.Module):
 def attention(q, k, v, dtype):
     """Joint full attention [B, H, T, D]: Pallas flash-attention kernel on
     TPU for the ~17.8k-token sequence (materialized logits would be tens
-    of GB), fused einsum elsewhere."""
+    of GB), fused einsum elsewhere. bounded_logits: norm_q/norm_k cap
+    |logits| at ~sqrt(D)·O(1), so the no-running-max softmax kernel is
+    exact here (ops/flash_attention._attn_kernel_nomax)."""
     from ...ops.flash_attention import attention_auto
-    return attention_auto(q, k, v, dtype=dtype)
+    return attention_auto(q, k, v, dtype=dtype, bounded_logits=True)
 
 
 class JointAttention(nn.Module):

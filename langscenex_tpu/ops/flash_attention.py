@@ -29,7 +29,7 @@ _LOG2E = math.log2(math.e)
 _PAD_BIAS = -1e9
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, l_ref, acc_ref):
     kb = pl.program_id(2)
     is_first = kb == 0
     is_last = kb == pl.num_programs(2) - 1
@@ -66,24 +66,78 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
 
     @pl.when(is_last)
     def _():
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
-                    ).astype(o_ref.dtype)
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        # log2-domain logsumexp per row — the backward residual
+        l2_ref[0] = (m_ref[...] + jnp.log2(l))[:, 0]
+
+
+def _attn_kernel_nomax(q_ref, k_ref, v_ref, o_ref, l2_ref, l_ref, acc_ref):
+    """Softmax WITHOUT the running max: p = exp2(s) directly.
+
+    Safe whenever the natural logits are bounded by ~80 (exp2 operand
+    ~115 < the f32/bf16 exponent ceiling of 127): with qk-LayerNorm
+    (CogVideoX norm_q/norm_k) |s·scale| <= sqrt(D)·O(1) ~ 10, so the
+    shifted and unshifted softmax are identical up to normalization.
+    Deletes the bk-wide max-reduce, the subtract, and the alpha
+    rescales from the VPU chain — the measured MFU binder at D=64
+    (docs/KERNELS.md §6)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                        # [Bq, D+1] (pre-scaled; col D = 1)
+    k = k_ref[0]                        # [Bk, D+1] (col D = pad bias)
+    v = v_ref[0]                        # [Bk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    p = jnp.exp2(s)
+    l_ref[...] = l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        l2_ref[0] = jnp.log2(l)[:, 0]   # logsumexp2 (m == 0 here)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float | None = None,
-                    block_q: int = 1024, block_k: int = 1024) -> jnp.ndarray:
+                    block_q: int = 1024, block_k: int = 1024,
+                    bounded_logits: bool = False) -> jnp.ndarray:
     """[B,H,T,D] q,k,v -> [B,H,T,D]. Non-causal full attention.
 
     1024x1024 blocks measured ~1.6x faster than 512x512 at the DiT's
     18k-token/48-head shape; 2048 blocks exceed VMEM. Padded kv tokens
     are handled by a bias feature column (see kernel docstring); softmax
     runs in the log2 domain. Measured 65.3 -> ~58 ms at 48x17776x64
-    (experiments/ab_attention2.py)."""
+    (experiments/ab_attention2.py).
+
+    ``bounded_logits=True`` selects the no-running-max kernel
+    (_attn_kernel_nomax): exact for qk-LayerNormed models whose logits
+    cannot approach exp2's f32 range (|natural logits| << 80).
+
+    Differentiable: jax.custom_vjp with Pallas backward kernels
+    (_bwd_dq_kernel / _bwd_dkv_kernel) — the DiT fine-tune path
+    backprops through this at the full 17.8k sequence."""
+    D = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    return _flash(q, k, v, float(scale), int(block_q), int(block_k),
+                  bool(bounded_logits))
+
+
+def _fwd_prep(q, k, v, scale, block_q, block_k):
+    """Scale-fold + pad to block multiples + bias column (see kernel
+    docstring). Returns [BH, T, D]-layout operands and the dim tuple."""
     B, H, T, D = q.shape
     Tk = k.shape[2]
-    scale = scale if scale is not None else 1.0 / math.sqrt(D)
-
     bq = min(block_q, T)
     bk = min(block_k, Tk)
     Tp = ((T + bq - 1) // bq) * bq
@@ -100,10 +154,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qp = qp.reshape(B * H, Tp, D + 1)
     kp = kp.reshape(B * H, Tkp, D + 1)
     vp = vp.reshape(B * H, Tkp, D)
+    return qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp)
 
+
+def _flash_fwd_impl(q, k, v, scale, block_q, block_k, bounded_logits):
+    qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp) = _fwd_prep(
+        q, k, v, scale, block_q, block_k)
     grid = (B * H, Tp // bq, Tkp // bk)
-    out = pl.pallas_call(
-        _attn_kernel,
+    scratch = [pltpu.VMEM((bq, 1), jnp.float32),
+               pltpu.VMEM((bq, D), jnp.float32)]
+    if not bounded_logits:
+        scratch.insert(0, pltpu.VMEM((bq, 1), jnp.float32))  # running max
+    out, l2 = pl.pallas_call(
+        _attn_kernel_nomax if bounded_logits else _attn_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D + 1), lambda b, i, j: (b, i, 0),
@@ -113,16 +176,187 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Tp), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+    )(qp, kp, vp)
+    return out.reshape(B, H, Tp, D)[:, :, :T], l2
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l2_ref, dvec_ref,
+                   dq_ref, acc_ref, *, scale):
+    """dq = scale · Σ_k ds @ k with ds = p ∘ (do@vᵀ − D), p recomputed
+    from the saved row logsumexp (no second online softmax)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                        # [Bq, D+1] (scaled; col D = 1)
+    k = k_ref[0]                        # [Bk, D+1] (col D = pad bias)
+    v = v_ref[0]                        # [Bk, D]
+    do = do_ref[0]                      # [Bq, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    p = jnp.exp2(s - l2_ref[0])         # normalized probabilities
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    ds = p * (dp - dvec_ref[0])
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, D+1]
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        acc = acc_ref[...]
+        dq_ref[0] = (acc[:, :dq_ref.shape[-1]] * scale
+                     ).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l2_ref, dvec_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc):
+    """dv = pᵀ @ do; dk = ln2 · dsᵀ @ q̃ (q̃ carries scale·log2e, so the
+    ln2 restores plain scale·dsᵀ@q). Grid is (BH, k-blocks, q-blocks)
+    with q innermost so the accumulators live per k block."""
+    qb_i = pl.program_id(2)
+
+    @pl.when(qb_i == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]                        # [Bq, D+1]
+    k = k_ref[0]                        # [Bk, D+1]
+    v = v_ref[0]                        # [Bk, D]
+    do = do_ref[0]                      # [Bq, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    p = jnp.exp2(s - l2_ref[0])
+    pc = p.astype(do.dtype)
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, D]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    ds = (p * (dp - dvec_ref[0])).astype(q.dtype)
+    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, D+1]
+
+    @pl.when(qb_i == pl.num_programs(2) - 1)
+    def _():
+        d = dk_ref.shape[-1]
+        acc = dk_acc[...]
+        dk_ref[0] = (acc[:, :d] * (1.0 / _LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+_BWD_BLOCK = 512     # backward holds s, p, dp, ds live: half the fwd block
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, bounded_logits):
+    out, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k,
+                             bounded_logits)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, bounded_logits):
+    out, l2 = _flash_fwd_impl(q, k, v, scale, block_q, block_k,
+                              bounded_logits)
+    return out, (q, k, v, out, l2)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
+    q, k, v, out, l2 = res
+    bq = min(_BWD_BLOCK, block_q)
+    bk = min(_BWD_BLOCK, block_k)
+    qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp) = _fwd_prep(
+        q, k, v, scale, bq, bk)
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+                  ).reshape(B * H, Tp, D)
+    # D_row = Σ_d do·o (the softmax-jacobian diagonal term)
+    dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), -1)
+    dvec = jnp.pad(dvec, ((0, 0), (0, 0), (0, Tp - T))
+                   ).reshape(B * H, Tp, 1)
+    # l2 was written at the forward's padding; re-pad to the backward's
+    l2p = jnp.pad(l2[:, :T], ((0, 0), (0, Tp - T))).reshape(B * H, Tp, 1)
+
+    bh = B * H
+    nq, nk = Tp // bq, Tkp // bk
+    common_specs = dict(
+        q=pl.BlockSpec((1, bq, D + 1), lambda b, i, j: (b, i, 0),
+                       memory_space=pltpu.VMEM),
+        do=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                        memory_space=pltpu.VMEM),
+        row=pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(bh, nq, nk),
+        in_specs=[
+            common_specs['q'],
+            pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            common_specs['do'], common_specs['row'], common_specs['row'],
+        ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, Tp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D + 1), jnp.float32)],
+    )(qp, kp, vp, dop, l2p, dvec)
+
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, D + 1), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-    )(qp, kp, vp)
-    return out.reshape(B, H, Tp, D)[:, :, :T]
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bh, Tkp, D), k.dtype),
+                   jax.ShapeDtypeStruct((bh, Tkp, D), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((bk, D + 1), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+    )(qp, kp, vp, dop, l2p, dvec)
+
+    dq = dq.reshape(B, H, Tp, D)[:, :, :T]
+    dk = dk.reshape(B, H, Tkp, D)[:, :, :Tk]
+    dv = dv.reshape(B, H, Tkp, D)[:, :, :Tk]
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def _attn_kernel_h2(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
@@ -264,9 +498,12 @@ def sequence_parallel(mesh, axis: str = "data"):
 
 
 def attention_auto(q, k, v, scale=None, dtype=jnp.bfloat16,
-                   flash_threshold: int = 2048):
+                   flash_threshold: int = 2048,
+                   bounded_logits: bool = False):
     """Dispatch: Pallas flash attention on TPU for long sequences, fused
-    einsum otherwise (used by models/cogvideox and models/vggt)."""
+    einsum otherwise (used by models/cogvideox and models/vggt).
+    ``bounded_logits``: caller asserts |natural logits| << 80 (e.g.
+    qk-LayerNorm) — selects the cheaper no-running-max kernel."""
     T = q.shape[2]
     out_dtype = q.dtype
     if _SEQ_PARALLEL is not None:
@@ -277,7 +514,9 @@ def attention_auto(q, k, v, scale=None, dtype=jnp.bfloat16,
             axis, scale).astype(out_dtype)
     if jax.default_backend() == "tpu" and T >= flash_threshold:
         return flash_attention(q.astype(dtype), k.astype(dtype),
-                               v.astype(dtype), scale).astype(out_dtype)
+                               v.astype(dtype), scale,
+                               bounded_logits=bounded_logits
+                               ).astype(out_dtype)
     scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(dtype), k.astype(dtype),
                         preferred_element_type=jnp.float32)
