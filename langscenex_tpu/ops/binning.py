@@ -2,11 +2,24 @@
 
 Replaces the reference's duplicateWithKeys + cub RadixSort + identifyTileRanges
 (cuda_rasterizer/rasterizer_impl.cu:70-130,285-328) with a static-shape XLA
-formulation: enumerate up to K tiles per splat, lexicographically sort the
-[P*K] pair list by (tile_id, depth) with ``lax.sort(num_keys=2)``, and read
-per-tile ranges with ``searchsorted``. Everything is integer bookkeeping and
-runs under ``stop_gradient`` — gradients flow through the blend, not the
-binning (same as CUDA).
+formulation that mirrors the CUDA structure: an exclusive scan of per-splat
+tile counts gives each splat's write offset (InclusiveSum parity), pairs are
+run-length-expanded into a fixed ``max_pairs`` buffer (scatter + cummax — the
+XLA idiom for variable-length runs), and the buffer is lexicographically
+sorted by (tile_id, depth) with ``lax.sort(num_keys=2)``. Per-tile ranges
+come from ``searchsorted``.
+
+The pair buffer is the ONLY static capacity: a splat may touch arbitrarily
+many tiles (a screen-covering splat contributes its full tile count, exactly
+like CUDA) — the sort domain is ``max_pairs``, never P*K. An earlier [P,K]
+formulation made the sort domain scale with the largest splat's tile count,
+which blew up to ~100M-element sorts on scenes with transiently-huge splats;
+truncating instead chopped splats mid-rect, and the resulting hard edge
+pushed scale gradients UP (grow-to-cover), a positive feedback loop that
+stalled reference-scale training.
+
+Everything is integer bookkeeping under ``stop_gradient`` — gradients flow
+through the blend, not the binning (same as CUDA).
 """
 from __future__ import annotations
 
@@ -19,12 +32,12 @@ from .projection import ProcessedSplats
 
 
 class TileLists(NamedTuple):
-    point_list: jnp.ndarray    # [P*K] splat ids in (tile, depth) order
+    point_list: jnp.ndarray    # [A] splat ids in (tile, depth) order
     tile_starts: jnp.ndarray   # [n_tiles] int32 start index into point_list
     tile_counts: jnp.ndarray   # [n_tiles] int32
-    num_pairs: jnp.ndarray     # [] int32 total valid pairs
-    overflowed: jnp.ndarray    # [] bool: K or max_pairs truncated
-    k_overflowed: jnp.ndarray = None  # [] bool: K alone truncated
+    num_pairs: jnp.ndarray     # [] int32 total demanded pairs (may exceed A)
+    overflowed: jnp.ndarray    # [] bool: num_pairs > max_pairs (truncated)
+    k_overflowed: jnp.ndarray = None  # [] bool: always False (kept for compat)
 
 
 def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
@@ -32,56 +45,57 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      max_pairs: int | None = None) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
-    ``max_tiles_per_splat`` (K) bounds the duplication statically; splats
-    whose tile rect exceeds K tiles are truncated in row-major rect order
-    (``overflowed`` reports if that happened — raise K if so).
-
-    ``max_pairs`` optionally caps the SORTED pair list: invalid pairs
-    sort to the end (tile key = n_tiles), so slicing the first
-    ``max_pairs`` entries keeps every valid pair as long as
-    num_pairs <= max_pairs (``overflowed`` reports otherwise). All
-    downstream pair-domain work (range lookup, aligned layout, payload
-    gather, blend DMA) scales with this capacity, not with P*K — at the
-    bench scene (100k splats, 941k pairs of 1.6M capacity) capping is a
-    measured end-to-end win (experiments/ab_forward3.py).
+    ``max_pairs`` sizes the pair buffer (default: P * max_tiles_per_splat,
+    the legacy sizing — ``max_tiles_per_splat`` no longer bounds any
+    single splat, it only feeds this default). When the scene demands more
+    pairs than the buffer holds, whole trailing splats (by id) are dropped
+    plus at most one split mid-rect, and ``overflowed`` reports it so the
+    caller can grow the cap; ``num_pairs`` is the TRUE demand, so growth
+    can jump straight to it.
     """
-    K = max_tiles_per_splat
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
+    A = max_pairs if max_pairs is not None else P * max_tiles_per_splat
+    A = min(A, P * n_tiles)
 
+    # exclusive scan of true tile counts -> per-splat write offsets
+    # (rasterizer_impl.cu:299 InclusiveSum)
+    tt = jax.lax.stop_gradient(proc.tiles_touched)     # [P], 0 for culled
+    offsets = jnp.cumsum(tt) - tt
+    num_pairs = offsets[-1] + tt[-1]
+
+    # run-length expansion: slot -> owning splat id / run start offset.
+    # Seed each run's first slot, fill with a running max (offsets and ids
+    # are both monotone, so cummax recovers the owner everywhere).
+    ar = jnp.arange(A, dtype=jnp.int32)
+    ids = jnp.arange(P, dtype=jnp.int32)
+    pos = jnp.where(tt > 0, offsets, A)                # empty runs: dropped
+    seed_id = jnp.zeros((A,), jnp.int32).at[pos].max(ids, mode='drop')
+    sid = jax.lax.cummax(seed_id, axis=0)              # [A] splat per slot
+    seed_off = jnp.zeros((A,), jnp.int32).at[pos].max(offsets, mode='drop')
+    k_in = ar - jax.lax.cummax(seed_off, axis=0)       # index within rect
+
+    # decode row-major rect enumeration -> tile id
     rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
-    k = jnp.arange(K, dtype=jnp.int32)
-    # row-major enumeration of the rect: k -> (kx, ky)
-    kx = k[None, :] % rect_w[:, None]
-    ky = k[None, :] // rect_w[:, None]
-    tile_x = proc.rect_min[:, 0:1] + kx
-    tile_y = proc.rect_min[:, 1:2] + ky
-    valid = (k[None, :] < proc.tiles_touched[:, None]) & proc.visible[:, None]
-    tile_id = tile_y * grid_x + tile_x                      # [P,K]
+    rw = rect_w[sid]
+    tile_x = proc.rect_min[sid, 0] + k_in % rw
+    tile_y = proc.rect_min[sid, 1] + k_in // rw
+    valid = ar < jnp.minimum(num_pairs, A)
+    tile_id = tile_y * grid_x + tile_x                  # [A]
 
-    key_tile = jnp.where(valid, tile_id, n_tiles).reshape(-1).astype(jnp.int32)
-    key_depth = jnp.broadcast_to(proc.depth[:, None], (P, K)).reshape(-1)
-    splat_id = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[:, None], (P, K)).reshape(-1)
-
-    key_tile = jax.lax.stop_gradient(key_tile)
-    key_depth = jax.lax.stop_gradient(key_depth)
+    key_tile = jnp.where(valid, tile_id, n_tiles).astype(jnp.int32)
+    key_depth = jax.lax.stop_gradient(proc.depth)[sid]
     sorted_tile, _, point_list = jax.lax.sort(
-        (key_tile, key_depth, splat_id), num_keys=2)
+        (key_tile, key_depth, sid), num_keys=2)
 
-    num_pairs = jnp.sum(valid.astype(jnp.int32))
-    k_overflowed = jnp.any(proc.tiles_touched > K)
-    overflowed = k_overflowed
-    if max_pairs is not None and max_pairs < sorted_tile.shape[0]:
-        sorted_tile = sorted_tile[:max_pairs]
-        point_list = point_list[:max_pairs]
-        overflowed = overflowed | (num_pairs > max_pairs)
-
-    tile_starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-                                   side='left').astype(jnp.int32)
-    tile_ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-                                 side='right').astype(jnp.int32)
+    overflowed = num_pairs > A
+    tile_starts = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    tile_ends = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+        side='right').astype(jnp.int32)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_ends - tile_starts,
                      num_pairs=num_pairs, overflowed=overflowed,
-                     k_overflowed=k_overflowed)
+                     k_overflowed=jnp.zeros((), bool))

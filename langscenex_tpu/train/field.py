@@ -601,50 +601,36 @@ class GaussianFieldTrainer:
         return self._steps[flags]
 
     def _grow_pair_caps(self, metrics) -> None:
-        """Adaptive binning-capacity growth: when a step reports pair
-        truncation, double the offending static cap (max_pairs for the
-        sorted-pair list, K=max_tiles_per_splat for per-splat tile
-        duplication) and drop the jitted steps so the next call
-        recompiles at the new shapes. Truncation is therefore bounded to
-        <=100 iters per growth instead of silently degrading every
-        render for the rest of the run (the CUDA reference never
-        truncates — its pair list is dynamically sized,
-        rasterizer_impl.cu:285-328)."""
+        """Adaptive pair-buffer growth: when a step reports pair
+        truncation, resize max_pairs straight to 1.25x the TRUE demand
+        (binning reports it in num_pairs) and drop the jitted steps so
+        the next call recompiles at the new shape. Truncation is
+        therefore bounded to a few iters per growth instead of silently
+        degrading every render (the CUDA reference never truncates —
+        its pair list is dynamically sized,
+        rasterizer_impl.cu:285-328). The buffer is the only static cap:
+        a single splat may touch arbitrarily many tiles (ops/binning.py)."""
         import logging
-        import math
         log_ = logging.getLogger(__name__)
-        k_hit = float(metrics.get('k_overflow', 0.0)) > 0
-        P = int(self.state.splats.capacity)
-        grew = False
-        if k_hit:
-            grid_x = -(-self.proxy_cam.width // self.rcfg.tile_w)
-            grid_y = -(-self.proxy_cam.height // self.rcfg.tile_h)
-            new_k = min(2 * self.rcfg.max_tiles_per_splat, grid_x * grid_y)
-            if new_k > self.rcfg.max_tiles_per_splat:
-                self.rcfg = dataclasses.replace(
-                    self.rcfg, max_tiles_per_splat=new_k)
-                grew = True
         mp = self.rcfg.max_pairs
-        if not k_hit and mp is not None:
-            natural = P * self.rcfg.max_tiles_per_splat
-            npairs = float(metrics.get('num_pairs', math.inf))
-            target = max(2 * mp, int(1.25 * npairs) if npairs < math.inf
-                         else 0)
-            new_mp = min(target, natural)
-            if new_mp > mp:
-                self.rcfg = dataclasses.replace(self.rcfg, max_pairs=new_mp)
-                grew = True
-        if grew:
+        if mp is None:
+            return
+        grid_x = -(-self.proxy_cam.width // self.rcfg.tile_w)
+        grid_y = -(-self.proxy_cam.height // self.rcfg.tile_h)
+        P = int(self.state.splats.capacity)
+        natural = P * grid_x * grid_y
+        npairs = float(metrics.get('num_pairs', 0.0))
+        new_mp = min(max(2 * mp, int(1.25 * npairs)), natural)
+        if new_mp > mp:
+            self.rcfg = dataclasses.replace(self.rcfg, max_pairs=new_mp)
             self._steps.clear()
             log_.warning(
-                "pair list overflowed — growing caps to max_pairs=%s "
-                "K=%d (recompile)", self.rcfg.max_pairs,
-                self.rcfg.max_tiles_per_splat)
+                "pair list overflowed (demand %d) — growing max_pairs to "
+                "%d (recompile)", int(npairs), new_mp)
         else:
             log_.warning(
-                "pair list overflowed at the hard ceiling (max_pairs=%s "
-                "K=%d) — renders truncated", self.rcfg.max_pairs,
-                self.rcfg.max_tiles_per_splat)
+                "pair list overflowed at the hard ceiling (max_pairs=%s) "
+                "— renders truncated", mp)
 
     # ---------------- pose export ----------------
 
@@ -845,7 +831,13 @@ class GaussianFieldTrainer:
                     and it % collage_interval == 0):
                 self.debug_collage(it, ci, save_dir)
 
-            if metrics.get('pair_overflow') is not None and it % 100 == 0 \
+            # Overflow check: frequent while densification/scale dynamics
+            # are active (truncated renders chop splats mid-rect, and the
+            # hard edge pushes scale gradients up — grow-to-cover feedback),
+            # sparse afterwards. Each check costs one device fetch.
+            check_every = 10 if it <= cfg.densify_until_iter else 100
+            if metrics.get('pair_overflow') is not None \
+                    and it % check_every == 0 \
                     and float(metrics['pair_overflow']) > 0:
                 self._grow_pair_caps(metrics)
             if log_every and it % log_every == 0:

@@ -365,26 +365,40 @@ class TestAdaptivePairCaps:
     def test_max_pairs_growth_unit(self):
         tr = self._trainer(dataclasses.replace(RCFG, max_pairs=128))
         tr._steps['sentinel'] = object()
-        tr._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 0.0,
-                            'num_pairs': 1000.0})
-        assert tr.rcfg.max_pairs == min(1250, 64 * RCFG.max_tiles_per_splat)
+        tr._grow_pair_caps({'pair_overflow': 1.0, 'num_pairs': 1000.0})
+        # jumps to 1.25x demand, clamped to the P * n_tiles natural
+        # ceiling (capacity 64, 3x4 tile grid)
+        assert tr.rcfg.max_pairs == min(1250, 64 * 12)
         assert not tr._steps  # cache dropped -> recompile at new shapes
 
-    def test_k_growth_unit(self):
-        tr = self._trainer(dataclasses.replace(RCFG, max_tiles_per_splat=4))
-        tr._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 1.0})
-        assert tr.rcfg.max_tiles_per_splat == 8
-        # K already at the whole grid (3x4 tiles): no further growth
-        tr2 = self._trainer(RCFG)  # K=64 > 12 tiles
-        tr2._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 1.0})
-        assert tr2.rcfg.max_tiles_per_splat == RCFG.max_tiles_per_splat
+    def test_no_k_truncation(self):
+        # A splat touching more tiles than max_tiles_per_splat must render
+        # EXACTLY (K no longer bounds any single splat, only the buffer):
+        # one huge splat covering the whole 48x32 image, K=1.
+        pts = np.array([[0.0, 0.0, 0.0]], np.float32)
+        cams = make_cams(n=1)
+        from langscenex_tpu.ops.rasterize import rasterize
+        cam = cams[0].raster_camera()
+        big = jnp.asarray([[2.0, 2.0, 2.0]])
+        q = jnp.asarray([[1.0, 0, 0, 0]])
+        op = jnp.asarray([[0.9]])
+        col = jnp.asarray([[0.3, 0.6, 0.9]])
+        outs = []
+        for k in (1, 12):
+            cfg = dataclasses.replace(RCFG, max_tiles_per_splat=k,
+                                      max_pairs=64)
+            outs.append(rasterize(jnp.asarray(pts), big, q, op,
+                                  cam, jnp.zeros(3), colors_precomp=col,
+                                  cfg=cfg))
+        np.testing.assert_array_equal(np.asarray(outs[0].color),
+                                      np.asarray(outs[1].color))
+        assert not bool(outs[0].pairs_overflowed)
 
     def test_ceiling_no_growth(self):
         tr = self._trainer(RCFG)  # default: max_pairs = 64k floor > P*K
         mp0, steps = tr.rcfg.max_pairs, dict(tr._steps)
-        tr._grow_pair_caps({'pair_overflow': 1.0, 'k_overflow': 0.0,
-                            'num_pairs': 99999.0})
-        # natural P*K ceiling already covered by the floor: no change
+        tr._grow_pair_caps({'pair_overflow': 1.0, 'num_pairs': 99999.0})
+        # natural P * n_tiles ceiling already covered by the floor: no change
         assert tr.rcfg.max_pairs == mp0
 
     def test_growth_in_training_loop(self):
