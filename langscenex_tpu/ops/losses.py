@@ -40,7 +40,14 @@ def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
 
 
 def _sep_filter2d(img: jnp.ndarray, w1d: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable 2D filter with zero SAME padding on [C,H,W]."""
+    """Depthwise separable 2D filter with zero SAME padding on [C,H,W].
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 input
+    precision, and SSIM's variance form E[x^2]-E[x]^2 catastrophically
+    cancels at bf16 (observed SSIM values of 6.4 / -1.28 in real TPU
+    training runs — garbage loss AND garbage gradients). The torch
+    reference convolves in f32 (loss_utils.py conv2d); HIGHEST matches it.
+    """
     k = w1d.shape[0]
     pad = k // 2
     C = img.shape[0]
@@ -50,9 +57,11 @@ def _sep_filter2d(img: jnp.ndarray, w1d: jnp.ndarray) -> jnp.ndarray:
     dn = jax.lax.conv_dimension_numbers(x.shape, wy.shape, ('NCHW', 'OIHW', 'NCHW'))
     x = jax.lax.conv_general_dilated(x.transpose(1, 0, 2, 3), wy,
                                      (1, 1), [(pad, pad), (0, 0)],
-                                     dimension_numbers=dn, feature_group_count=C)
+                                     dimension_numbers=dn, feature_group_count=C,
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, wx, (1, 1), [(0, 0), (pad, pad)],
-                                     dimension_numbers=dn, feature_group_count=C)
+                                     dimension_numbers=dn, feature_group_count=C,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x.transpose(1, 0, 2, 3)[:, 0]
 
 

@@ -67,6 +67,21 @@ class TestSSIM:
         g = jax.grad(lambda x: L.ssim(x, b))(a)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_filter_precision_pinned(self):
+        """The SSIM filter convs MUST carry HIGHEST precision: TPU convs
+        default to bf16 inputs, and the E[x^2]-E[x]^2 variance form then
+        catastrophically cancels (observed SSIM of 6.4 / -1.28 in real TPU
+        training — garbage loss and gradients that stalled a full run at
+        PSNR ~9). CPU ignores precision, so this pins the jaxpr attribute
+        rather than the numerics."""
+        a = jnp.zeros((3, 16, 16), jnp.float32)
+        jx = str(jax.make_jaxpr(lambda x: L.ssim(x, x))(a))
+        n_conv = jx.count("conv_general_dilated")
+        assert n_conv > 0
+        assert jx.count("HIGHEST") >= n_conv, (
+            "SSIM filter convs lost precision=HIGHEST — this silently "
+            "breaks TPU training (bf16 variance cancellation)")
+
 
 class TestLNCC:
     def test_identical_patches(self):
