@@ -6,6 +6,7 @@ Parity targets: field_construction/utils/graphics_utils.py depth2point_cam
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -22,7 +23,10 @@ def depth_to_points_cam(depth: jnp.ndarray, intrinsic: jnp.ndarray) -> jnp.ndarr
     # cam_xyz = [u*z, v*z, z] @ K^-T  (ndc_2_cam with inv_scale folded in)
     uvz = jnp.stack([gx * depth, gy * depth, depth], axis=-1)
     Kinv = jnp.linalg.inv(intrinsic)
-    return uvz @ Kinv.T
+    # HIGHEST: points_to_normals differences NEIGHBORING outputs — bf16
+    # matmul quantization of the point map turns those tiny differences
+    # (and the resulting normals) into noise on TPU.
+    return jnp.matmul(uvz, Kinv.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def points_to_normals(xyz: jnp.ndarray) -> jnp.ndarray:

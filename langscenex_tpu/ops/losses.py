@@ -134,9 +134,13 @@ def loss_cls_3d(key: jax.Array, features: jnp.ndarray, predictions: jnp.ndarray,
     idx = jax.random.permutation(key, n)[:sample_size]
     sf = features[idx]
     sp = preds[idx]
-    # pairwise squared distances via the matmul identity (MXU-friendly)
+    # pairwise squared distances via the matmul identity (MXU-friendly).
+    # HIGHEST: at bf16 matmul precision the identity cancels for near
+    # neighbors (d2 ~ 0 minus O(2^-8) matmul error) and kNN selection
+    # gets noisy — same trap as the SSIM variance (see _sep_filter2d).
     d2 = (jnp.sum(sf ** 2, -1)[:, None] + jnp.sum(features ** 2, -1)[None, :]
-          - 2.0 * sf @ features.T)
+          - 2.0 * jnp.matmul(sf, features.T,
+                             precision=jax.lax.Precision.HIGHEST))
     _, nbr = jax.lax.top_k(-d2, k)
     nbr_preds = preds[nbr]                              # [S,k,C]
     kl = sp[:, None] * (jnp.log(sp[:, None] + 1e-10) - jnp.log(nbr_preds + 1e-10))
@@ -150,7 +154,10 @@ def _pairwise_l2(x: jnp.ndarray) -> jnp.ndarray:
     [N,N,C] broadcast intermediate (1.2GB at the reference's N=10k sample;
     the matmul form is MXU work + one [N,N] array)."""
     sq = jnp.sum(x * x, -1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    # HIGHEST: same-cluster pairs have d2 ~ 0; a bf16 x@x.T error of
+    # O(2^-8)*|x|^2 would dominate their distance (and its gradient).
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        x, x.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.sqrt(jnp.maximum(d2, 1e-12))
 
 def loss_semantic_group(key: jax.Array, gt_seg: jnp.ndarray,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,12 +88,17 @@ def ndc_to_pix(v: jnp.ndarray, size) -> jnp.ndarray:
 
 
 def transform_points(M: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Apply 4x4 M to [..., 3] points with perspective divide."""
-    hom = pts @ M[:3, :3].T + M[:3, 3]
-    w = pts @ M[3, :3].T + M[3, 3]
+    """Apply 4x4 M to [..., 3] points with perspective divide.
+
+    HIGHEST precision: TPU's default bf16 matmul quantizes coordinates at
+    pixel scale after projection (see train/multiview.py note)."""
+    _hi = jax.lax.Precision.HIGHEST
+    hom = jnp.matmul(pts, M[:3, :3].T, precision=_hi) + M[:3, 3]
+    w = jnp.matmul(pts, M[3, :3].T, precision=_hi) + M[3, 3]
     return hom / (w[..., None] + 1e-7)
 
 
 def transform_points_3x4(M: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply rigid 4x4 (no divide) to [..., 3] points."""
-    return pts @ M[:3, :3].T + M[:3, 3]
+    return jnp.matmul(pts, M[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + M[:3, 3]

@@ -123,9 +123,14 @@ def render_view(splats: GaussianState, pose: Optional[jnp.ndarray],
     scales = splats.get_scaling()
     rot = splats.get_rotation()
 
+    # Small-contraction point transforms pinned to HIGHEST: TPU matmuls
+    # default to bf16 inputs and 2^-8 relative error on positions is
+    # pixel-scale at the rasterizer (see train/multiview.py note).
+    _HI = jax.lax.Precision.HIGHEST
     if pose is not None:
         rel = camera_from_tensor(pose)
-        means = splats.xyz @ rel[:3, :3].T + rel[:3, 3]
+        means = jnp.matmul(splats.xyz, rel[:3, :3].T,
+                           precision=_HI) + rel[:3, 3]
         quats = quat_multiply(pose[None, :4]
                               / jnp.linalg.norm(pose[:4]), rot)
         render_w2c = jnp.eye(4, dtype=jnp.float32)
@@ -144,10 +149,13 @@ def render_view(splats: GaussianState, pose: Optional[jnp.ndarray],
     if return_plane:
         # per-splat plane params in the render camera frame (consistent
         # variant — see module docstring)
-        cam_center = -eff_w2c[:3, :3].T @ eff_w2c[:3, 3]
+        cam_center = -jnp.matmul(eff_w2c[:3, :3].T, eff_w2c[:3, 3],
+                                 precision=_HI)
         global_normal = splats.get_normal(cam_center)
-        local_normal = global_normal @ eff_w2c[:3, :3].T
-        pts_in_cam = splats.xyz @ eff_w2c[:3, :3].T + eff_w2c[:3, 3]
+        local_normal = jnp.matmul(global_normal, eff_w2c[:3, :3].T,
+                                  precision=_HI)
+        pts_in_cam = jnp.matmul(splats.xyz, eff_w2c[:3, :3].T,
+                                precision=_HI) + eff_w2c[:3, 3]
         local_distance = jnp.abs(jnp.sum(local_normal * pts_in_cam, -1))
         all_map = jnp.concatenate([
             local_normal, jnp.ones_like(local_distance[:, None]),

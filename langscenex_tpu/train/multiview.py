@@ -103,13 +103,19 @@ def multi_view_loss(key: jax.Array,
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
     # ---- forward reprojection (gaussian_field.py:316-336)
+    # Every small-contraction matmul/einsum below is pinned to HIGHEST:
+    # TPU matmuls default to bf16 inputs, and 2^-8 relative error on
+    # point coordinates is ~3 px at this focal length — against a 1 px
+    # geo-noise threshold that turns the whole multiview loss into
+    # noise (same class of TPU trap as the SSIM variance, ops/losses.py).
+    _HI = jax.lax.Precision.HIGHEST
     rays = _rays(H, W, fx, fy, cx, cy)                     # [H,W,3]
     pts_cam = rays * plane_depth[..., None]
     Rv, tv = view_w2c[:3, :3], view_w2c[:3, 3]
     Rn, tn = near_w2c[:3, :3], near_w2c[:3, 3]
-    pts_world = (pts_cam.reshape(-1, 3) - tv) @ Rv         # R^T... rows: Rv^T? see below
     # x_w = Rv^T (x_cam - tv): (x - tv) @ Rv applies Rv^T row-wise
-    pts_near = pts_world @ Rn.T + tn
+    pts_world = jnp.matmul(pts_cam.reshape(-1, 3) - tv, Rv, precision=_HI)
+    pts_near = jnp.matmul(pts_world, Rn.T, precision=_HI) + tn
 
     # sample nearest cam's depth at the projections (:337-341, helper :726-748)
     proj_near = jnp.stack([pts_near[:, 0] * fx / pts_near[:, 2] + cx,
@@ -121,8 +127,8 @@ def multi_view_loss(key: jax.Array,
 
     # back-project with the nearest cam's surface depth and return (:343-355)
     pts_near_surf = pts_near / pts_near[:, 2:3] * map_z[:, None]
-    pts_world2 = (pts_near_surf - tn) @ Rn
-    pts_view2 = pts_world2 @ Rv.T + tv
+    pts_world2 = jnp.matmul(pts_near_surf - tn, Rn, precision=_HI)
+    pts_view2 = jnp.matmul(pts_world2, Rv.T, precision=_HI) + tv
     proj_back = jnp.stack([pts_view2[:, 0] * fx / pts_view2[:, 2] + cx,
                            pts_view2[:, 1] * fy / pts_view2[:, 2] + cy], -1)
 
@@ -160,8 +166,8 @@ def multi_view_loss(key: jax.Array,
         # offsets run past the border and are warped, THEN border-clamped)
         r = patch_size
         He, We = H + 2 * r, W + 2 * r
-        R_rel = Rn @ Rv.T
-        t_rel = -R_rel @ tv + tn
+        R_rel = jnp.matmul(Rn, Rv.T, precision=_HI)
+        t_rel = -jnp.matmul(R_rel, tv, precision=_HI) + tn
         ne = jnp.pad(rendered_normal, ((0, 0), (r, r), (r, r)), mode='edge')
         de = jnp.pad(rendered_distance, r, mode='edge')
         n_all = ne.reshape(3, -1).T                              # [HeWe,3]
@@ -177,9 +183,10 @@ def multi_view_loss(key: jax.Array,
         Kinv = jnp.linalg.inv(K)
         Hmat = (R_rel[None] - t_rel[None, :, None] * n_all[:, None, :]
                 / (d_all[:, None, None] + 1e-12))                # [HeWe,3,3]
-        Hmat = K[None] @ Hmat @ Kinv[None]
+        Hmat = jnp.matmul(jnp.matmul(K[None], Hmat, precision=_HI),
+                          Kinv[None], precision=_HI)
         homo = jnp.concatenate([epix, jnp.ones((He * We, 1))], -1)
-        warped = jnp.einsum('pij,pj->pi', Hmat, homo)
+        warped = jnp.einsum('pij,pj->pi', Hmat, homo, precision=_HI)
         wxy = warped[:, :2] / (warped[:, 2:] + 1e-10)
         near_warp = bilinear_sample_border(near_gt_gray, wxy)[0]
         ref_ext = bilinear_sample_border(
@@ -205,18 +212,19 @@ def multi_view_loss(key: jax.Array,
     ref_gray = ref_gray.reshape(take, ps * ps)
 
     # homography view->near per sampled pixel (:409-427)
-    R_rel = Rn @ Rv.T
-    t_rel = -R_rel @ tv + tn
+    R_rel = jnp.matmul(Rn, Rv.T, precision=_HI)
+    t_rel = -jnp.matmul(R_rel, tv, precision=_HI) + tn
     n_local = rendered_normal.reshape(3, -1).T[sel]          # [S,3]
     d_local = rendered_distance.reshape(-1)[sel]
     Hmat = (R_rel[None] - t_rel[None, :, None] * n_local[:, None, :]
             / (d_local[:, None, None] + 1e-12))
     Kinv = jnp.linalg.inv(K)
-    Hmat = K[None] @ Hmat @ Kinv[None]
+    Hmat = jnp.matmul(jnp.matmul(K[None], Hmat, precision=_HI),
+                      Kinv[None], precision=_HI)
 
     ones = jnp.ones((take, ps * ps, 1))
     homo = jnp.concatenate([patch_pix, ones], -1)            # [S,pp,3]
-    warped = jnp.einsum('sij,spj->spi', Hmat, homo)
+    warped = jnp.einsum('sij,spj->spi', Hmat, homo, precision=_HI)
     warped = warped[..., :2] / (warped[..., 2:] + 1e-10)
     near_gray = bilinear_sample_border(near_gt_gray, warped.reshape(-1, 2))
     near_gray = near_gray.reshape(take, ps * ps)
