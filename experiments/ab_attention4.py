@@ -1,0 +1,72 @@
+"""Round-2b attention measurements at the DiT shape (48h x 17776 x 64):
+
+1. forward: online-softmax kernel vs the no-max (bounded_logits) kernel
+2. fwd+bwd through the custom_vjp Pallas backward
+3. numerical check of nomax vs online on-device (same inputs)
+
+Run on a free chip:  timeout 1200 python experiments/ab_attention4.py
+"""
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from langscenex_tpu.ops.flash_attention import flash_attention
+
+B, H, T, D = 1, 48, 17776, 64
+PEAK = 197e12
+FLOPS_FWD = 4.0 * B * H * T * T * D
+FLOPS_BWD = 2.5 * FLOPS_FWD          # dq + dkv each redo s; 2x matmuls
+
+
+def chain(fn, n, *args):
+    def body(*a):
+        def step(carry, _):
+            out = fn(a[0] + carry.astype(a[0].dtype) * 0, *a[1:])
+            first = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(first[..., 0, :]).astype(jnp.float32), None
+        return jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                            None, length=n)[0]
+    jfn = jax.jit(body)
+    float(jfn(*args))
+    t0 = time.perf_counter()
+    float(jfn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+
+    for name, bounded in [("online-softmax", False), ("no-max", True)]:
+        fn = lambda q, k, v: flash_attention(q, k, v,
+                                             bounded_logits=bounded)
+        dt = chain(fn, 8, q, k, v)
+        print(f"fwd {name:16s} {dt*1e3:8.2f} ms  "
+              f"MFU {FLOPS_FWD/dt/PEAK*100:5.1f}%", flush=True)
+
+    # on-device numerical agreement of the two kernels
+    a = flash_attention(q, k, v, bounded_logits=False)
+    b = flash_attention(q, k, v, bounded_logits=True)
+    d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                              - b.astype(jnp.float32))))
+    print(f"nomax vs online max abs diff: {d:.2e}", flush=True)
+
+    for name, bounded in [("online-softmax", False), ("no-max", True)]:
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, bounded_logits=bounded).astype(jnp.float32)
+                ** 2)
+        g = jax.grad(loss, argnums=(0, 1, 2))
+        fn = lambda q, k, v: g(q, k, v)
+        dt = chain(fn, 4, q, k, v)
+        print(f"fwd+bwd {name:16s} {dt*1e3:8.2f} ms  "
+              f"MFU {(FLOPS_FWD+FLOPS_BWD)/dt/PEAK*100:5.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()
