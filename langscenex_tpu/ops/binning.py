@@ -40,6 +40,73 @@ class TileLists(NamedTuple):
     k_overflowed: jnp.ndarray = None  # [] bool: always False (kept for compat)
 
 
+def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
+                                   grid_y: int,
+                                   max_tiles_per_splat: int = 32,
+                                   max_pairs: int | None = None) -> TileLists:
+    """Same contract as :func:`build_tile_lists`, different sort split.
+
+    Sort the SPLATS by depth first (a [P] sort, ~16x smaller than the
+    pair domain), expand runs in depth order, then STABLE-sort pairs by
+    tile id alone — stability preserves the depth order within each tile,
+    so the big [A] sort carries 1 key + 1 payload instead of 2 keys +
+    1 payload. Equivalent output up to depth-tie ordering (CUDA's radix
+    order on ties is implementation-defined too, rasterizer_impl.cu:310).
+
+    Overflow semantics differ from the default builder in WHICH pairs are
+    dropped when num_pairs > A (nearest-depth splats survive here — a
+    strictly better truncation policy than trailing-id), so `overflowed`
+    still reports identically and growth logic is unchanged.
+    """
+    n_tiles = grid_x * grid_y
+    P = proc.depth.shape[0]
+    A = max_pairs if max_pairs is not None else P * max_tiles_per_splat
+    A = min(A, P * n_tiles)
+
+    tt0 = jax.lax.stop_gradient(proc.tiles_touched)      # [P], 0 for culled
+    depth0 = jax.lax.stop_gradient(proc.depth)
+    # depth-order the splats; culled splats sink to the end
+    dkey = jnp.where(tt0 > 0, depth0, jnp.inf)
+    _, perm = jax.lax.sort((dkey, jnp.arange(P, dtype=jnp.int32)),
+                           num_keys=1)
+    tt = tt0[perm]
+    offsets = jnp.cumsum(tt) - tt
+    num_pairs = offsets[-1] + tt[-1]
+
+    ar = jnp.arange(A, dtype=jnp.int32)
+    ids = jnp.arange(P, dtype=jnp.int32)
+    pos = jnp.where(tt > 0, offsets, A)
+    seed_id = jnp.zeros((A,), jnp.int32).at[pos].max(ids, mode='drop')
+    sid = jax.lax.cummax(seed_id, axis=0)                # into SORTED order
+    seed_off = jnp.zeros((A,), jnp.int32).at[pos].max(offsets, mode='drop')
+    k_in = ar - jax.lax.cummax(seed_off, axis=0)
+
+    orig = perm[sid]                                     # original splat id
+    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
+    rw = rect_w[orig]
+    tile_x = proc.rect_min[orig, 0] + k_in % rw
+    tile_y = proc.rect_min[orig, 1] + k_in // rw
+    valid = ar < jnp.minimum(num_pairs, A)
+    tile_id = tile_y * grid_x + tile_x
+
+    key_tile = jnp.where(valid, tile_id, n_tiles).astype(jnp.int32)
+    # stable single-key sort: depth order within each tile is preserved
+    sorted_tile, point_list = jax.lax.sort((key_tile, orig), num_keys=1,
+                                           is_stable=True)
+
+    overflowed = num_pairs > A
+    tile_starts = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    tile_ends = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+        side='right').astype(jnp.int32)
+    return TileLists(point_list=point_list, tile_starts=tile_starts,
+                     tile_counts=tile_ends - tile_starts,
+                     num_pairs=num_pairs, overflowed=overflowed,
+                     k_overflowed=jnp.zeros((), bool))
+
+
 def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      max_tiles_per_splat: int = 32,
                      max_pairs: int | None = None) -> TileLists:

@@ -33,7 +33,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .binning import build_tile_lists, TileLists
+from .binning import (build_tile_lists, build_tile_lists_depth_presort,
+                      TileLists)
 from .projection import RasterCamera, preprocess
 
 ALPHA_MAX = 0.99
@@ -54,6 +55,10 @@ class RasterConfig:
     # fewer pairs — see covariance.conic_and_radius); False = the
     # reference's literal 3-sigma AABB.
     opacity_aware_radius: bool = True
+    # Depth-presort the splats and single-key stable-sort pairs by tile
+    # (binning.build_tile_lists_depth_presort): equivalent output up to
+    # depth ties, smaller big-sort payload. A/B knob for the forward perf.
+    depth_presort: bool = False
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -212,8 +217,10 @@ def rasterize(
                       scale_modifier=scale_modifier, tile_w=cfg.tile_w,
                       tile_h=cfg.tile_h, mean2d_offset=mean2d_offset,
                       opacity=opacity if cfg.opacity_aware_radius else None)
-    lists = build_tile_lists(proc, grid_x, grid_y, cfg.max_tiles_per_splat,
-                             max_pairs=cfg.max_pairs)
+    builder = (build_tile_lists_depth_presort if cfg.depth_presort
+               else build_tile_lists)
+    lists = builder(proc, grid_x, grid_y, cfg.max_tiles_per_splat,
+                    max_pairs=cfg.max_pairs)
 
     parts = [proc.rgb]
     if language_feature is not None:

@@ -273,6 +273,46 @@ class TestBinning:
             d = depth[ids]
             assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
 
+    def test_depth_presort_equivalent(self):
+        """build_tile_lists_depth_presort: same per-tile id sets in the
+        same depth order as the default builder (depths are distinct with
+        prob 1, so tie-ordering differences cannot hide here), and the
+        full render is bitwise-identical."""
+        from langscenex_tpu.ops.binning import build_tile_lists_depth_presort
+        from langscenex_tpu.ops.rasterize import rasterize, RasterConfig
+        import dataclasses
+        cam = make_camera(W=48, H=24)
+        means, scales, quats, opacity, colors = random_scene(P=60, seed=23)
+        proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=16, tile_h=8)
+        gx, gy = 3, 3
+        a = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64)
+        b = build_tile_lists_depth_presort(proc, gx, gy,
+                                           max_tiles_per_splat=64)
+        assert int(a.num_pairs) == int(b.num_pairs)
+        np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                      np.asarray(b.tile_starts))
+        np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                      np.asarray(b.tile_counts))
+        sa, ca = np.asarray(a.tile_starts), np.asarray(a.tile_counts)
+        pa, pb = np.asarray(a.point_list), np.asarray(b.point_list)
+        for t in range(gx * gy):
+            np.testing.assert_array_equal(pa[sa[t]:sa[t] + ca[t]],
+                                          pb[sa[t]:sa[t] + ca[t]])
+        cfg0 = RasterConfig(tile_w=16, tile_h=8)
+        out0 = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), jnp.asarray(opacity), cam,
+                         jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                         cfg=cfg0)
+        out1 = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), jnp.asarray(opacity), cam,
+                         jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                         cfg=dataclasses.replace(cfg0, depth_presort=True))
+        np.testing.assert_array_equal(np.asarray(out0.color),
+                                      np.asarray(out1.color))
+
 
 class TestOpacityAwareBinning:
     """opacity_aware_radius bins with the alpha-support radius
