@@ -25,8 +25,13 @@ def chain(fn, n, *args):
     def body(*a):
         def step(carry, _):
             out = fn(a[0] + carry.astype(a[0].dtype) * 0, *a[1:])
-            first = out[0] if isinstance(out, tuple) else out
-            return jnp.sum(first[..., 0, :]).astype(jnp.float32), None
+            # consume EVERY output: the grad fn returns (dq, dk, dv) from
+            # two separate pallas_calls — depending only on out[0] lets
+            # jit DCE the dkv kernel and the "fwd+bwd" time measures
+            # fwd+dq only
+            outs = out if isinstance(out, tuple) else (out,)
+            dep = sum(jnp.sum(o[..., 0, :]) for o in outs)
+            return dep.astype(jnp.float32), None
         return jax.lax.scan(step, jnp.zeros((), jnp.float32),
                             None, length=n)[0]
     jfn = jax.jit(body)

@@ -35,9 +35,107 @@ class TileLists(NamedTuple):
     point_list: jnp.ndarray    # [A] splat ids in (tile, depth) order
     tile_starts: jnp.ndarray   # [n_tiles] int32 start index into point_list
     tile_counts: jnp.ndarray   # [n_tiles] int32
-    num_pairs: jnp.ndarray     # [] int32 total demanded pairs (may exceed A)
-    overflowed: jnp.ndarray    # [] bool: num_pairs > max_pairs (truncated)
+    num_pairs: jnp.ndarray     # [] int32 total demanded pairs (may exceed A;
+                               #    saturated at int32 max — see _demand)
+    overflowed: jnp.ndarray    # [] bool: demand > max_pairs (truncated)
     k_overflowed: jnp.ndarray = None  # [] bool: always False (kept for compat)
+
+
+def _demand(tt: jnp.ndarray, A: int):
+    """(num_pairs int32 saturated, overflowed bool) from per-splat tile
+    counts. The total is accumulated in f32 (exact to ~2^24, then ~1e-7
+    relative — plenty for a threshold): an int32 cumsum would WRAP past
+    2^31 demanded pairs (2M-splat capacity x ~1.4k tiles exceeds it), and
+    a wrapped-negative num_pairs would read as "no overflow" — silent
+    permanent truncation with adaptive growth never firing."""
+    total_f = jnp.sum(tt.astype(jnp.float32))
+    overflowed = total_f > A
+    num_pairs = jnp.minimum(total_f, float(2 ** 31 - 1)).astype(jnp.int32)
+    return num_pairs, overflowed
+
+
+def _expand_runs(tt: jnp.ndarray, A: int):
+    """Run-length expansion of per-splat tile counts into the [A] pair
+    buffer: slot -> (owning splat index, index within its rect, valid).
+
+    Seed each run's first slot, fill with a running max (offsets and ids
+    are both monotone, so cummax recovers the owner everywhere). Offsets
+    at/past A — including any int32-wrapped NEGATIVE offsets deep in a
+    pathological cumsum — are dropped from the seed scatter."""
+    P = tt.shape[0]
+    offsets = jnp.cumsum(tt) - tt                      # exclusive scan
+    ar = jnp.arange(A, dtype=jnp.int32)
+    ids = jnp.arange(P, dtype=jnp.int32)
+    in_buf = (tt > 0) & (offsets >= 0) & (offsets < A)
+    pos = jnp.where(in_buf, offsets, A)                # A == dropped
+    seed_id = jnp.zeros((A,), jnp.int32).at[pos].max(ids, mode='drop')
+    owner = jax.lax.cummax(seed_id, axis=0)            # [A] splat per slot
+    seed_off = jnp.zeros((A,), jnp.int32).at[pos].max(offsets, mode='drop')
+    k_in = ar - jax.lax.cummax(seed_off, axis=0)       # index within rect
+    # slots at/past the total demand are invalid; saturate the comparison
+    # through the f32 demand path (offsets[-1]+tt[-1] can wrap)
+    num_pairs, _ = _demand(tt, A)
+    valid = ar < jnp.minimum(num_pairs, A)
+    return owner, k_in, valid
+
+
+def _decode_tiles(proc: ProcessedSplats, orig: jnp.ndarray,
+                  k_in: jnp.ndarray, valid: jnp.ndarray,
+                  grid_x: int, n_tiles: int):
+    """Row-major rect enumeration -> per-slot tile id (invalid slots get
+    the n_tiles sentinel, sorting to the end)."""
+    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
+    rw = rect_w[orig]
+    tile_x = proc.rect_min[orig, 0] + k_in % rw
+    tile_y = proc.rect_min[orig, 1] + k_in // rw
+    tile_id = tile_y * grid_x + tile_x
+    return jnp.where(valid, tile_id, n_tiles).astype(jnp.int32)
+
+
+def _tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int):
+    tile_starts = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    tile_ends = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+        side='right').astype(jnp.int32)
+    return tile_starts, tile_ends - tile_starts
+
+
+def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
+                     max_tiles_per_splat: int = 32,
+                     max_pairs: int | None = None) -> TileLists:
+    """Build depth-sorted per-tile splat lists.
+
+    ``max_pairs`` sizes the pair buffer (default: P * max_tiles_per_splat,
+    the legacy sizing — ``max_tiles_per_splat`` no longer bounds any
+    single splat, it only feeds this default). When the scene demands more
+    pairs than the buffer holds, whole trailing splats (by id) are dropped
+    plus at most one split mid-rect, and ``overflowed`` reports it so the
+    caller can grow the cap; ``num_pairs`` is the TRUE demand (saturated
+    at int32 max), so growth can jump straight to it.
+    """
+    n_tiles = grid_x * grid_y
+    P = proc.depth.shape[0]
+    A = max_pairs if max_pairs is not None else P * max_tiles_per_splat
+    A = min(A, P * n_tiles)
+
+    # exclusive scan of true tile counts -> per-splat write offsets
+    # (rasterizer_impl.cu:299 InclusiveSum), expanded into the buffer
+    tt = jax.lax.stop_gradient(proc.tiles_touched)     # [P], 0 for culled
+    sid, k_in, valid = _expand_runs(tt, A)
+    key_tile = _decode_tiles(proc, sid, k_in, valid, grid_x, n_tiles)
+
+    key_depth = jax.lax.stop_gradient(proc.depth)[sid]
+    sorted_tile, _, point_list = jax.lax.sort(
+        (key_tile, key_depth, sid), num_keys=2)
+
+    num_pairs, overflowed = _demand(tt, A)
+    tile_starts, tile_counts = _tile_ranges(sorted_tile, n_tiles)
+    return TileLists(point_list=point_list, tile_starts=tile_starts,
+                     tile_counts=tile_counts,
+                     num_pairs=num_pairs, overflowed=overflowed,
+                     k_overflowed=jnp.zeros((), bool))
 
 
 def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
@@ -54,7 +152,7 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     order on ties is implementation-defined too, rasterizer_impl.cu:310).
 
     Overflow semantics differ from the default builder in WHICH pairs are
-    dropped when num_pairs > A (nearest-depth splats survive here — a
+    dropped when demand > A (nearest-depth splats survive here — a
     strictly better truncation policy than trailing-id), so `overflowed`
     still reports identically and growth logic is unchanged.
     """
@@ -70,99 +168,17 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     _, perm = jax.lax.sort((dkey, jnp.arange(P, dtype=jnp.int32)),
                            num_keys=1)
     tt = tt0[perm]
-    offsets = jnp.cumsum(tt) - tt
-    num_pairs = offsets[-1] + tt[-1]
-
-    ar = jnp.arange(A, dtype=jnp.int32)
-    ids = jnp.arange(P, dtype=jnp.int32)
-    pos = jnp.where(tt > 0, offsets, A)
-    seed_id = jnp.zeros((A,), jnp.int32).at[pos].max(ids, mode='drop')
-    sid = jax.lax.cummax(seed_id, axis=0)                # into SORTED order
-    seed_off = jnp.zeros((A,), jnp.int32).at[pos].max(offsets, mode='drop')
-    k_in = ar - jax.lax.cummax(seed_off, axis=0)
-
+    sid, k_in, valid = _expand_runs(tt, A)
     orig = perm[sid]                                     # original splat id
-    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
-    rw = rect_w[orig]
-    tile_x = proc.rect_min[orig, 0] + k_in % rw
-    tile_y = proc.rect_min[orig, 1] + k_in // rw
-    valid = ar < jnp.minimum(num_pairs, A)
-    tile_id = tile_y * grid_x + tile_x
+    key_tile = _decode_tiles(proc, orig, k_in, valid, grid_x, n_tiles)
 
-    key_tile = jnp.where(valid, tile_id, n_tiles).astype(jnp.int32)
     # stable single-key sort: depth order within each tile is preserved
     sorted_tile, point_list = jax.lax.sort((key_tile, orig), num_keys=1,
                                            is_stable=True)
 
-    overflowed = num_pairs > A
-    tile_starts = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-        side='left').astype(jnp.int32)
-    tile_ends = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-        side='right').astype(jnp.int32)
+    num_pairs, overflowed = _demand(tt, A)
+    tile_starts, tile_counts = _tile_ranges(sorted_tile, n_tiles)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
-                     tile_counts=tile_ends - tile_starts,
-                     num_pairs=num_pairs, overflowed=overflowed,
-                     k_overflowed=jnp.zeros((), bool))
-
-
-def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
-                     max_tiles_per_splat: int = 32,
-                     max_pairs: int | None = None) -> TileLists:
-    """Build depth-sorted per-tile splat lists.
-
-    ``max_pairs`` sizes the pair buffer (default: P * max_tiles_per_splat,
-    the legacy sizing — ``max_tiles_per_splat`` no longer bounds any
-    single splat, it only feeds this default). When the scene demands more
-    pairs than the buffer holds, whole trailing splats (by id) are dropped
-    plus at most one split mid-rect, and ``overflowed`` reports it so the
-    caller can grow the cap; ``num_pairs`` is the TRUE demand, so growth
-    can jump straight to it.
-    """
-    n_tiles = grid_x * grid_y
-    P = proc.depth.shape[0]
-    A = max_pairs if max_pairs is not None else P * max_tiles_per_splat
-    A = min(A, P * n_tiles)
-
-    # exclusive scan of true tile counts -> per-splat write offsets
-    # (rasterizer_impl.cu:299 InclusiveSum)
-    tt = jax.lax.stop_gradient(proc.tiles_touched)     # [P], 0 for culled
-    offsets = jnp.cumsum(tt) - tt
-    num_pairs = offsets[-1] + tt[-1]
-
-    # run-length expansion: slot -> owning splat id / run start offset.
-    # Seed each run's first slot, fill with a running max (offsets and ids
-    # are both monotone, so cummax recovers the owner everywhere).
-    ar = jnp.arange(A, dtype=jnp.int32)
-    ids = jnp.arange(P, dtype=jnp.int32)
-    pos = jnp.where(tt > 0, offsets, A)                # empty runs: dropped
-    seed_id = jnp.zeros((A,), jnp.int32).at[pos].max(ids, mode='drop')
-    sid = jax.lax.cummax(seed_id, axis=0)              # [A] splat per slot
-    seed_off = jnp.zeros((A,), jnp.int32).at[pos].max(offsets, mode='drop')
-    k_in = ar - jax.lax.cummax(seed_off, axis=0)       # index within rect
-
-    # decode row-major rect enumeration -> tile id
-    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
-    rw = rect_w[sid]
-    tile_x = proc.rect_min[sid, 0] + k_in % rw
-    tile_y = proc.rect_min[sid, 1] + k_in // rw
-    valid = ar < jnp.minimum(num_pairs, A)
-    tile_id = tile_y * grid_x + tile_x                  # [A]
-
-    key_tile = jnp.where(valid, tile_id, n_tiles).astype(jnp.int32)
-    key_depth = jax.lax.stop_gradient(proc.depth)[sid]
-    sorted_tile, _, point_list = jax.lax.sort(
-        (key_tile, key_depth, sid), num_keys=2)
-
-    overflowed = num_pairs > A
-    tile_starts = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-        side='left').astype(jnp.int32)
-    tile_ends = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-        side='right').astype(jnp.int32)
-    return TileLists(point_list=point_list, tile_starts=tile_starts,
-                     tile_counts=tile_ends - tile_starts,
+                     tile_counts=tile_counts,
                      num_pairs=num_pairs, overflowed=overflowed,
                      k_overflowed=jnp.zeros((), bool))

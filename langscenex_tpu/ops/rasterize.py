@@ -78,9 +78,12 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray            # [P]
     out_observe: jnp.ndarray      # [P] int32
     visible: jnp.ndarray          # [P] bool
-    pairs_overflowed: jnp.ndarray  # [] bool: K or max_pairs truncated
-    k_overflowed: Optional[jnp.ndarray] = None   # [] bool: K truncated
-    num_pairs: Optional[jnp.ndarray] = None      # [] int32 valid pairs
+    pairs_overflowed: jnp.ndarray  # [] bool: pair demand > max_pairs buffer
+    k_overflowed: Optional[jnp.ndarray] = None   # [] bool: always False
+    #                                              (legacy; K no longer caps)
+    num_pairs: Optional[jnp.ndarray] = None      # [] int32 TRUE pair demand
+    #                      (may exceed the buffer/point_list length when
+    #                       pairs_overflowed; saturated at int32 max)
 
 
 def _tile_pixel_coords(grid_x: int, grid_y: int, tile_h: int, tile_w: int):
