@@ -273,6 +273,65 @@ class TestBinning:
             d = depth[ids]
             assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
 
+    def test_against_bruteforce_oracle(self):
+        """Both builders vs a numpy brute-force oracle on scenes with
+        culled splats, a full-screen splat, and buffer overflow: per-tile
+        id SETS must match exactly; within-tile order must be depth-
+        nondecreasing; overflow must drop whole splats by the documented
+        policy (trailing-id for the default builder, farthest-depth for
+        the presort one) plus at most one mid-rect split."""
+        from langscenex_tpu.ops.binning import build_tile_lists_depth_presort
+        cam = make_camera(W=48, H=24)
+        means, scales, quats, opacity, colors = random_scene(P=50, seed=31)
+        means[7, 2] = -1.0                 # behind camera -> culled
+        scales[11] = 3.0                   # full-screen splat
+        proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=16, tile_h=8)
+        gx, gy = 3, 3
+        tt = np.asarray(proc.tiles_touched)
+        rmin = np.asarray(proc.rect_min)
+        rmax = np.asarray(proc.rect_max)
+        depth = np.asarray(proc.depth)
+
+        def oracle_pairs(order):
+            """Brute-force (tile -> [ids in depth order]) honoring a
+            per-splat enumeration order and the A-slot budget."""
+            pairs = []          # (slot, tile, id)
+            slot = 0
+            for i in order:
+                w = max(rmax[i, 0] - rmin[i, 0], 1)
+                for k in range(int(tt[i])):
+                    tx = rmin[i, 0] + k % w
+                    ty = rmin[i, 1] + k // w
+                    pairs.append((slot, ty * gx + tx, i))
+                    slot += 1
+            return pairs
+
+        demand = int(tt.sum())
+        for builder, order in (
+                (build_tile_lists, np.arange(50)),
+                (build_tile_lists_depth_presort,
+                 np.argsort(np.where(tt > 0, depth, np.inf),
+                            kind='stable'))):
+            for A in (demand + 8, demand // 2):     # exact fit + overflow
+                lists = builder(proc, gx, gy, max_tiles_per_splat=64,
+                                max_pairs=A)
+                assert bool(lists.overflowed) == (demand > A)
+                assert int(lists.num_pairs) == demand
+                surviving = [p for p in oracle_pairs(order) if p[0] < A]
+                starts = np.asarray(lists.tile_starts)
+                counts = np.asarray(lists.tile_counts)
+                pl = np.asarray(lists.point_list)
+                assert int(counts.sum()) == len(surviving)
+                for t in range(gx * gy):
+                    got = sorted(pl[starts[t]:starts[t] + counts[t]])
+                    want = sorted(i for _, tl, i in surviving if tl == t)
+                    assert got == want, f"tile {t} ids differ (A={A})"
+                    d = depth[pl[starts[t]:starts[t] + counts[t]]]
+                    assert np.all(np.diff(d) >= 0)
+
     def test_depth_presort_equivalent(self):
         """build_tile_lists_depth_presort: same per-tile id sets in the
         same depth order as the default builder (depths are distinct with
