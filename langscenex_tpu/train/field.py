@@ -510,6 +510,8 @@ class GaussianFieldTrainer:
             rcfg = _dc.replace(
                 rcfg, max_pairs=max(8 * splats.capacity, 1 << 16))
         self.rcfg = rcfg
+        # HBM budget for adaptive pair-buffer growth (_grow_pair_caps)
+        self.max_pairs_ceiling = 32 * 1024 * 1024
         self.scene_extent = scene_extent
         self.sh_degree_max = sh_degree_max
         self.lang_dir = lang_dir
@@ -626,7 +628,13 @@ class GaussianFieldTrainer:
         grid_x = -(-self.proxy_cam.width // self.rcfg.tile_w)
         grid_y = -(-self.proxy_cam.height // self.rcfg.tile_h)
         P = int(self.state.splats.capacity)
-        natural = P * grid_x * grid_y
+        # Ceiling = min(every splat on every tile, an HBM budget): the
+        # pair domain carries ~10 i32/f32 arrays plus the [A,24] payload
+        # gather, ~140 B/pair live — 32M pairs ≈ 4.5 GB, the most a
+        # transient demand spike (densification inflating splats for a
+        # few iters) may claim before we prefer bounded truncation of
+        # the FARTHEST/TRAILING splats over an OOM that kills the run.
+        natural = min(P * grid_x * grid_y, self.max_pairs_ceiling)
         npairs = float(metrics.get('num_pairs', 0.0))
         new_mp = min(max(2 * mp, int(1.25 * npairs)), natural)
         if new_mp > mp:
