@@ -180,11 +180,37 @@ def main():
     print(f"render       {t_render:7.1f}s   eval {t_eval:7.1f}s")
     psnrs = [r["psnr"] for r in results]
     print(f"eval psnr    {np.mean(psnrs):.2f} over {len(psnrs)} views")
+
+    # language-field quality: cosine of the rendered language features
+    # vs the per-view GT feature maps on segmented pixels
+    import glob
+    coss = []
+    for f in sorted(glob.glob(os.path.join(
+            out, "eval/renders_lang_npy/*.npy"))):
+        name = os.path.basename(f)[:-4]
+        lang = np.load(f)
+        gt = np.load(os.path.join(root, "lang_features_dim3",
+                                  name + "_f.npy"))[0]
+        seg = np.load(os.path.join(root, "lang_features_dim3",
+                                   name + "_s.npy"))
+        Hh, Ww = lang.shape[:2]
+        yi = (np.arange(Hh) * gt.shape[1] / Hh).astype(int)
+        xi = (np.arange(Ww) * gt.shape[2] / Ww).astype(int)
+        g = gt[:, yi][:, :, xi].transpose(1, 2, 0)
+        m = seg[yi][:, xi] >= 0
+        if m.sum():
+            c = (lang[m] * g[m]).sum(-1) / (
+                np.linalg.norm(lang[m], axis=-1)
+                * np.linalg.norm(g[m], axis=-1) + 1e-8)
+            coss.append(float(c.mean()))
+    lang_cos = round(float(np.mean(coss)), 4) if coss else None
+    print(f"lang cosine  {lang_cos} over {len(coss)} views")
     print(json.dumps({
         "metric": "field_full_schedule_min",
         "value": round(t_train / 60, 2), "unit": "min",
         "alive_final": int(state.splats.num_alive),
-        "eval_psnr": round(float(np.mean(psnrs)), 2)}), flush=True)
+        "eval_psnr": round(float(np.mean(psnrs)), 2),
+        "lang_cos": lang_cos}), flush=True)
 
 
 if __name__ == "__main__":
