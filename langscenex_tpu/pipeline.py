@@ -167,12 +167,25 @@ class FieldConstructionPipeline:
             self.extract_language_features()
 
     def estimate_poses(self) -> None:
-        """VGGT feed-forward pose init (pose_estimator/__init__.py:227-294):
-        writes camera/%04d.npz {pose(c2w), intrinsics} + points3D.ply."""
-        from .pose_estimation import estimate_poses_vggt
-        estimate_poses_vggt(self.paths.data_path, params=self.vggt_params,
-                            cfg=self.vggt_cfg,
-                            target_wh=self.pose_target_wh)
+        """Pose init through the estimator factory (pose_estimator/
+        __init__.py:296-303). Default "vggt" (:227-294) writes
+        camera/%04d.npz {pose(c2w), intrinsics} + points3D.ply;
+        "mast3r"/"cut3r" produce the dense-init COLMAP export tree;
+        "colmap" shells out to the colmap binary."""
+        from .pose_estimation import (estimate_poses_colmap,
+                                      estimate_poses_dense_init,
+                                      estimate_poses_vggt, get_pose_estimator)
+        est = get_pose_estimator(self.pose_estimator)
+        if est is estimate_poses_vggt:
+            est(self.paths.data_path, params=self.vggt_params,
+                cfg=self.vggt_cfg, target_wh=self.pose_target_wh)
+        elif est is estimate_poses_dense_init:
+            est(self.paths.data_path, params=self.vggt_params,
+                cfg=self.vggt_cfg)
+        elif est is estimate_poses_colmap:
+            est(self.paths.data_path)
+        else:  # future estimators: generic call
+            est(self.paths.data_path)
 
     def extract_language_features(self, extractor=None) -> None:
         """Language feature lifting + per-scene AE compression

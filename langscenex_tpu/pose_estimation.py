@@ -109,9 +109,94 @@ def estimate_poses_colmap(data_path: str, colmap_bin: str = "colmap") -> None:
         "--output_path", sparse)
 
 
+def estimate_poses_dense_init(data_path: str, params=None, cfg=None,
+                              n_views=None, co_vis_dsp: bool = True,
+                              depth_thre: float = 0.1,
+                              max_pts_num: int = 1_500_000) -> None:
+    """MASt3R/CUT3R-contract COLMAP export (pose_estimator/__init__.py:
+    99-225): dense per-view pointmaps + confidences -> confidence-ordered
+    redundancy masks -> sparse/0/{images,cameras}.{bin,txt} +
+    points3D.ply + confidence(_dsp).npy + pts_num.txt.
+
+    TPU-first design note: the reference reaches this contract through
+    the external mast3r/cut3r torch packages (not installable here); we
+    reach the identical artifact tree through our native VGGT (which
+    predicts the same quantities: pose, intrinsics, depth, confidence).
+    The export machinery below IS the reference's first-party code path
+    (utils/sfm_utils.py writers).
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from .models.vggt import (VGGT, VGGTConfig, pose_encoding_to_extri_intri,
+                              unproject_depth_to_points)
+    from .utils import sfm
+
+    cfg = cfg or VGGTConfig()
+    model = VGGT(cfg)
+    if params is None:
+        raise ValueError(
+            "dense-init weights required: pass converted VGGT params")
+
+    image_files, suffix = sfm.get_sorted_image_files(
+        os.path.join(data_path, "input"))
+    S = cfg.img_size - cfg.img_size % cfg.patch_size
+    imgs = []
+    org_shape = None
+    for f in image_files:
+        im = Image.open(f).convert("RGB")
+        if org_shape is None:
+            org_shape = im.size
+        imgs.append(np.asarray(im.resize((S, S)),
+                               np.float32).transpose(2, 0, 1) / 255.0)
+    batch = jnp.asarray(np.stack(imgs))[None]
+    out = model.apply(params, batch)
+
+    H, W = batch.shape[-2:]
+    extri, K = pose_encoding_to_extri_intri(out["pose_enc"][0], (H, W))
+    extri = np.asarray(extri)
+    K = np.asarray(K)
+    depth = np.asarray(out["depth"][0])
+    conf = np.asarray(out["depth_conf"][0])
+    n = len(image_files)
+
+    w2cs = np.tile(np.eye(4), (n, 1, 1))
+    w2cs[:, :3] = extri
+    pointmaps = np.stack([
+        np.asarray(unproject_depth_to_points(
+            jnp.asarray(depth[i]), jnp.asarray(extri[i]), jnp.asarray(K[i])))
+        for i in range(n)])
+
+    order = np.argsort(conf.reshape(n, -1).mean(-1))[::-1]
+    if depth_thre > 0:
+        masks = ~sfm.compute_redundancy_masks(
+            order, depth, pointmaps, K, w2cs, (n, H, W),
+            depth_threshold=depth_thre)
+    else:
+        co_vis_dsp, masks = False, None
+
+    _, sparse_0, _ = sfm.init_filestructure(data_path, n_views)
+    colors = np.stack(imgs).transpose(0, 2, 3, 1)
+    focals = K[:, 0, 0]
+    sfm.save_extrinsic(sparse_0, w2cs, image_files, suffix)
+    sfm.save_intrinsics(sparse_0, focals, org_shape, (n, H, W),
+                        save_focals=True)
+    n_pts = sfm.save_points3D(sparse_0, colors, pointmaps,
+                              conf.reshape(n, -1), masks,
+                              use_masks=co_vis_dsp, save_all_pts=False,
+                              save_txt_path=data_path,
+                              depth_threshold=depth_thre,
+                              max_pts_num=max_pts_num)
+    log.info("dense-init export: %d points -> %s", n_pts, sparse_0)
+
+
 ESTIMATORS = {
     "vggt": estimate_poses_vggt,
     "colmap": estimate_poses_colmap,
+    # the reference reaches these two through external torch packages;
+    # both resolve to the same COLMAP-export contract served natively
+    "mast3r": estimate_poses_dense_init,
+    "cut3r": estimate_poses_dense_init,
 }
 
 

@@ -135,15 +135,26 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
+    # COLMAP images.txt alternates header/2D-point lines; the points
+    # line may be EMPTY (our writers emit none), so alternate on raw
+    # lines rather than on a blank-stripped list.
     out = {}
+    expecting_points = False
     with open(path) as f:
-        lines = [l.strip() for l in f
-                 if l.strip() and not l.startswith('#')]
-    for i in range(0, len(lines), 2):   # every other line is 2D points
-        el = lines[i].split()
-        out[int(el[0])] = ColmapImage(
-            int(el[0]), np.array([float(x) for x in el[1:5]]),
-            np.array([float(x) for x in el[5:8]]), int(el[8]), el[9])
+        for line in f:
+            if line.startswith('#'):
+                continue
+            if expecting_points:
+                expecting_points = False
+                continue
+            stripped = line.strip()
+            if not stripped:
+                continue
+            el = stripped.split()
+            out[int(el[0])] = ColmapImage(
+                int(el[0]), np.array([float(x) for x in el[1:5]]),
+                np.array([float(x) for x in el[5:8]]), int(el[8]), el[9])
+            expecting_points = True
     return out
 
 
@@ -179,3 +190,58 @@ def write_images_text(images: Dict[int, ColmapImage], path: str):
             q = " ".join(str(x) for x in im.qvec)
             t = " ".join(str(x) for x in im.tvec)
             f.write(f"{im.id} {q} {t} {im.camera_id} {im.name}\n\n")
+
+
+def write_cameras_binary(cameras: Dict[int, ColmapCamera], path: str):
+    """cameras.bin, symmetric to read_cameras_binary (sfm_utils.py:230-249
+    writes both .bin and .txt so downstream COLMAP tooling can load
+    either)."""
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(cameras)))
+        for cam in cameras.values():
+            mid = MODEL_NAME_TO_ID[cam.model]
+            f.write(struct.pack('<iiQQ', cam.id, mid,
+                                int(cam.width), int(cam.height)))
+            f.write(struct.pack('<' + 'd' * len(cam.params),
+                                *[float(p) for p in cam.params]))
+
+
+def write_images_binary(images: Dict[int, ColmapImage], path: str):
+    """images.bin with empty 2D-point tracks (the MASt3R/CUT3R export
+    has no per-image observations; sfm_utils.py:205-228 contract)."""
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(images)))
+        for im in images.values():
+            f.write(struct.pack('<i', im.id))
+            f.write(struct.pack('<4d', *[float(x) for x in im.qvec]))
+            f.write(struct.pack('<3d', *[float(x) for x in im.tvec]))
+            f.write(struct.pack('<i', im.camera_id))
+            f.write(im.name.encode('utf-8') + b'\x00')
+            f.write(struct.pack('<Q', 0))
+
+
+def write_points3d_binary(path: str, xyz: np.ndarray, rgb: np.ndarray,
+                          errors: np.ndarray = None):
+    """points3D.bin with empty tracks; rgb in [0,255] uint8."""
+    n = xyz.shape[0]
+    err = (np.zeros(n) if errors is None else np.asarray(errors).reshape(n))
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', n))
+        for i in range(n):
+            f.write(struct.pack('<Q', i + 1))
+            f.write(struct.pack('<3d', *[float(v) for v in xyz[i]]))
+            f.write(struct.pack('<3B', *[int(v) for v in rgb[i]]))
+            f.write(struct.pack('<d', float(err[i])))
+            f.write(struct.pack('<Q', 0))
+
+
+def write_points3d_text(path: str, xyz: np.ndarray, rgb: np.ndarray,
+                        errors: np.ndarray = None):
+    n = xyz.shape[0]
+    err = (np.zeros(n) if errors is None else np.asarray(errors).reshape(n))
+    with open(path, 'w') as f:
+        f.write("# 3D point list\n")
+        for i in range(n):
+            x, y, z = (float(v) for v in xyz[i])
+            r, g, b = (int(v) for v in rgb[i])
+            f.write(f"{i + 1} {x} {y} {z} {r} {g} {b} {float(err[i])}\n")

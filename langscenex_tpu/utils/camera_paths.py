@@ -31,23 +31,43 @@ def _look_at(center: np.ndarray, target: np.ndarray, up: np.ndarray):
     return w2c
 
 
+def _constant_velocity_thetas(positions_of, n_frames: int) -> np.ndarray:
+    """Reparameterize a closed path so frames move at ~constant speed:
+    dense-sample the path, histogram segment lengths over theta, and
+    inverse-CDF resample theta (pose_utils.py:343-345 / :561-564 — the
+    reference's only live use of stepfun.sample)."""
+    theta = np.linspace(0, 2 * np.pi, 4 * n_frames + 1)
+    pts = positions_of(theta)
+    lengths = np.linalg.norm(np.diff(pts, axis=0), axis=-1)
+    from .stepfun import sample
+    theta_cv = np.asarray(sample(None, jnp.asarray(theta),
+                                 jnp.log(jnp.asarray(lengths) + 1e-12),
+                                 n_frames + 1))
+    return theta_cv[:-1]
+
+
 def ellipse_path(centers: np.ndarray, n_frames: int = 120,
-                 z_rate: float = 0.0) -> np.ndarray:
+                 z_rate: float = 0.0,
+                 const_speed: bool = True) -> np.ndarray:
     """Elliptical orbit through the training-camera centroid
-    (pose_utils generate_ellipse_path semantics). Returns [n,4,4] w2c."""
+    (pose_utils generate_ellipse_path semantics, incl. the
+    constant-velocity theta resampling). Returns [n,4,4] w2c."""
     target = centers.mean(0)
     offsets = centers - target
     a = np.percentile(np.abs(offsets[:, 0]), 90)
     b = np.percentile(np.abs(offsets[:, 1]), 90)
     z0 = offsets[:, 2].mean()
     up = np.array([0.0, -1.0, 0.0])
-    poses = []
-    for i in range(n_frames):
-        th = 2 * np.pi * i / n_frames
-        c = target + np.array([a * np.cos(th), b * np.sin(th),
-                               z0 + z_rate * np.sin(th)])
-        poses.append(_look_at(c, target, up))
-    return np.stack(poses)
+
+    def positions(theta):
+        return target + np.stack([a * np.cos(theta), b * np.sin(theta),
+                                  z0 + z_rate * np.sin(theta)], -1)
+
+    if const_speed:
+        thetas = _constant_velocity_thetas(positions, n_frames)
+    else:
+        thetas = 2 * np.pi * np.arange(n_frames) / n_frames
+    return np.stack([_look_at(c, target, up) for c in positions(thetas)])
 
 
 def spiral_path(centers: np.ndarray, n_frames: int = 120,
