@@ -36,6 +36,17 @@ class PipelineConfig:
     vae_scale_factor_temporal: int = 4
     latent_channels: int = 16
     vae_scaling_factor: float = 0.7   # CogVideoX VAE config scaling
+    # Training-free output broadcast (OFF by default, opt-in perf knob):
+    # inside the middle `broadcast_window` fraction of the trajectory,
+    # call the DiT only every `broadcast_interval`-th step and reuse the
+    # cached guided noise prediction in between. Timestep-level variant
+    # of Pyramid Attention Broadcast (arXiv 2408.12588) — model outputs
+    # are temporally redundant mid-trajectory; block-level attention
+    # caching would need ~9 GB HBM at 5.57B/18k-tokens, the output cache
+    # needs ~9 MB. Exactness: identity when interval=1, and for any
+    # interval when the model output is locally constant in t.
+    broadcast_interval: int = 1
+    broadcast_window: Tuple[float, float] = (0.2, 0.9)
 
     @property
     def latent_frames(self) -> int:
@@ -84,13 +95,23 @@ def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
 
     denoiser(latents [2B,F,2C,H,W], text [2B,L,D], t [2B]) -> [2B,F,C,H,W]
     """
-    ts = scheduler.timesteps(cfg.num_inference_steps)
+    n = cfg.num_inference_steps
+    ts = scheduler.timesteps(n)
     ts_prev = jnp.concatenate([ts[1:], -jnp.ones((1,), jnp.int32)])
     text = jnp.concatenate([text_uncond, text_cond], axis=0)
     B = latents.shape[0]
 
-    def step(lat, t_pair):
-        t, t_prev = t_pair
+    # output-broadcast schedule: True = evaluate the DiT at this step
+    idx = jnp.arange(n)
+    if cfg.broadcast_interval > 1:
+        w0 = int(cfg.broadcast_window[0] * n)
+        w1 = int(cfg.broadcast_window[1] * n)
+        compute = ((idx < w0) | (idx >= w1)
+                   | ((idx - w0) % cfg.broadcast_interval == 0))
+    else:
+        compute = jnp.ones((n,), bool)
+
+    def evaluate(lat, t):
         lat_in = jnp.concatenate([lat, lat], axis=0)
         img_in = jnp.concatenate([image_latents, image_latents], axis=0)
         model_in = jnp.concatenate([lat_in, img_in], axis=2)  # channel cat
@@ -102,11 +123,19 @@ def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
                                  scheduler.cfg.num_train_timesteps)
         else:
             g = cfg.guidance_scale
-        noise_pred = uncond + g * (cond - uncond)
-        new_lat = scheduler.step(noise_pred, t, t_prev, lat)
-        return new_lat, None
+        return uncond + g * (cond - uncond)
 
-    final, _ = jax.lax.scan(step, latents, (ts, ts_prev))
+    def step(carry, xs):
+        lat, cache = carry
+        t, t_prev, do_eval = xs
+        noise_pred = jax.lax.cond(
+            do_eval, lambda args: evaluate(*args), lambda args: cache,
+            (lat, t))
+        new_lat = scheduler.step(noise_pred, t, t_prev, lat)
+        return (new_lat, noise_pred), None
+
+    (final, _), _ = jax.lax.scan(
+        step, (latents, jnp.zeros_like(latents)), (ts, ts_prev, compute))
     return final
 
 

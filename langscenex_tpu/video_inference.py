@@ -47,10 +47,12 @@ def save_video_frames(video: np.ndarray, out_dir: str, fps: int = 8) -> None:
 
 
 def build_pipeline(checkpoint: str | None, t5_path: str | None,
-                   tiny: bool = False):
+                   tiny: bool = False, pcfg_overrides: dict | None = None):
     """Assemble DiT + VAE + scheduler + text encoder. Without a checkpoint
     the models run with random/zero weights (shape/pipeline validation
     only — weights must be converted via utils/convert.py)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from .models.cogvideox.transformer import (CogVideoXTransformer,
@@ -76,6 +78,8 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
         vcfg = VAEConfig()
         pcfg = PipelineConfig()
         text_dim = 4096
+    if pcfg_overrides:
+        pcfg = dataclasses.replace(pcfg, **pcfg_overrides)
 
     dit = CogVideoXTransformer(tcfg)
     vae = AutoencoderKL3D(vcfg)
@@ -133,9 +137,20 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model (pipeline smoke test)")
+    p.add_argument("--broadcast_interval", type=int, default=1,
+                   help="training-free DiT output broadcast: >1 reuses "
+                        "the guided noise prediction for this many steps "
+                        "inside the middle of the trajectory (~1/interval "
+                        "of the mid-trajectory DiT evals)")
     args = p.parse_args(argv)
 
-    pipe, text, pcfg = build_pipeline(args.checkpoint, args.t5, args.tiny)
+    overrides = {"guidance_scale": args.guidance_scale,
+                 "broadcast_interval": args.broadcast_interval}
+    if not args.tiny:
+        # tiny mode pins its own 4-step schedule
+        overrides["num_inference_steps"] = args.num_inference_steps
+    pipe, text, pcfg = build_pipeline(args.checkpoint, args.t5, args.tiny,
+                                      pcfg_overrides=overrides)
     first = load_image(args.first_image, (pcfg.height, pcfg.width))[None]
     last = load_image(args.last_image, (pcfg.height, pcfg.width))[None]
     cond = jnp.asarray(text.encode([args.prompt]))

@@ -184,3 +184,76 @@ class TestPipeline:
                    jnp.zeros((1, 3, 8)), jnp.zeros((1, 3, 8)))
         assert out.shape == (1, 3, 4, 8, 12)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestOutputBroadcast:
+    """Training-free output broadcast (PipelineConfig.broadcast_interval)."""
+
+    def _setup(self, n_steps, **kw):
+        cfg = PipelineConfig(num_frames=9, height=16, width=24,
+                             num_inference_steps=n_steps,
+                             latent_channels=4,
+                             vae_scale_factor_spatial=2,
+                             vae_scale_factor_temporal=4,
+                             vae_scaling_factor=1.0, **kw)
+        rng = np.random.default_rng(0)
+        noise = jnp.asarray(rng.normal(
+            size=(1, 3, 4, 8, 12)).astype(np.float32))
+        img_lat = jnp.asarray(rng.normal(
+            size=(1, 3, 4, 8, 12)).astype(np.float32))
+        tc = jnp.asarray(rng.normal(size=(1, 3, 8)).astype(np.float32))
+        tu = jnp.zeros((1, 3, 8))
+        return cfg, noise, img_lat, tc, tu
+
+    def test_interval_one_is_identity(self):
+        tcfg = TransformerConfig(num_layers=1, num_heads=2, head_dim=16,
+                                 in_channels=8, out_channels=4, patch_size=2,
+                                 text_embed_dim=8, time_embed_dim=16,
+                                 attn_dtype=jnp.float32)
+        model = CogVideoXTransformer(tcfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 8, 8, 12)),
+                            jnp.zeros((2, 3, 8)), jnp.zeros((2,), jnp.int32))
+        den = lambda x, text, t: model.apply(params, x, text, t)
+        cfg0, noise, img, tc, tu = self._setup(6)
+        cfg1, *_ = self._setup(6, broadcast_interval=1)
+        base = denoise_loop(den, noise, img, tc, tu, DDIMScheduler(), cfg0)
+        same = denoise_loop(den, noise, img, tc, tu, DDIMScheduler(), cfg1)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+
+    def test_constant_model_broadcast_exact(self):
+        # if the model output is constant in (x, t), reusing it is exact:
+        # any interval must give bitwise the baseline trajectory
+        const = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 3, 4, 8, 12)).astype(np.float32))
+        den = lambda x, text, t: const
+        cfg0, noise, img, tc, tu = self._setup(8)
+        cfg2, *_ = self._setup(8, broadcast_interval=2,
+                               broadcast_window=(0.25, 1.0))
+        base = denoise_loop(den, noise, img, tc, tu, DDIMScheduler(), cfg0)
+        fast = denoise_loop(den, noise, img, tc, tu, DDIMScheduler(), cfg2)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(fast),
+                                   atol=1e-6)
+
+    def test_eval_count_reduced(self):
+        # count actual DiT evaluations through an ordered host callback:
+        # lax.cond must skip the callback on broadcast steps
+        import jax.experimental
+
+        count = [0]
+
+        def bump(_):
+            count[0] += 1
+            return np.zeros((), np.float32)
+
+        def den(x, text, t):
+            tap = jax.experimental.io_callback(
+                bump, jax.ShapeDtypeStruct((), jnp.float32), t, ordered=True)
+            return jnp.zeros((2, 3, 4, 8, 12)) + tap
+
+        cfg, noise, img, tc, tu = self._setup(
+            10, broadcast_interval=2, broadcast_window=(0.2, 0.9))
+        out = denoise_loop(den, noise, img, tc, tu, DDIMScheduler(), cfg)
+        jax.block_until_ready(out)
+        # steps 0,1 head + 2,4,6,8 window-evals + 9 tail = 7 of 10
+        assert count[0] == 7
+        assert np.all(np.isfinite(np.asarray(out)))
