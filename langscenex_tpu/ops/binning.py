@@ -39,6 +39,10 @@ class TileLists(NamedTuple):
                                #    saturated at int32 max — see _demand)
     overflowed: jnp.ndarray    # [] bool: demand > max_pairs (truncated)
     k_overflowed: jnp.ndarray = None  # [] bool: always False (kept for compat)
+    perm: jnp.ndarray = None   # [P] depth order (rank -> original splat id);
+                               #    set only by the depth_presort builder with
+                               #    return_ranks=True, where point_list holds
+                               #    depth RANKS instead of original ids
 
 
 def _demand(tt: jnp.ndarray, A: int):
@@ -141,7 +145,8 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
 def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
                                    grid_y: int,
                                    max_tiles_per_splat: int = 32,
-                                   max_pairs: int | None = None) -> TileLists:
+                                   max_pairs: int | None = None,
+                                   return_ranks: bool = False) -> TileLists:
     """Same contract as :func:`build_tile_lists`, different sort split.
 
     Sort the SPLATS by depth first (a [P] sort, ~16x smaller than the
@@ -155,6 +160,14 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     dropped when demand > A (nearest-depth splats survive here — a
     strictly better truncation policy than trailing-id), so `overflowed`
     still reports identically and growth logic is unchanged.
+
+    ``return_ranks=True``: ``point_list`` holds depth RANKS and ``perm``
+    maps rank -> original id. Within every tile the ranks are then
+    MONOTONICALLY INCREASING (stable tile sort of an already-rank-ordered
+    stream), so a blend payload table permuted into depth order is read
+    with locally coherent, ascending row indices — the A-row payload
+    gather (the measured transaction-bound cost, KERNELS.md §6) becomes
+    near-sequential instead of random.
     """
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
@@ -173,7 +186,8 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     key_tile = _decode_tiles(proc, orig, k_in, valid, grid_x, n_tiles)
 
     # stable single-key sort: depth order within each tile is preserved
-    sorted_tile, point_list = jax.lax.sort((key_tile, orig), num_keys=1,
+    payload = sid if return_ranks else orig
+    sorted_tile, point_list = jax.lax.sort((key_tile, payload), num_keys=1,
                                            is_stable=True)
 
     num_pairs, overflowed = _demand(tt, A)
@@ -181,4 +195,5 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_counts,
                      num_pairs=num_pairs, overflowed=overflowed,
-                     k_overflowed=jnp.zeros((), bool))
+                     k_overflowed=jnp.zeros((), bool),
+                     perm=perm if return_ranks else None)

@@ -59,6 +59,12 @@ class RasterConfig:
     # (binning.build_tile_lists_depth_presort): equivalent output up to
     # depth ties, smaller big-sort payload. A/B knob for the forward perf.
     depth_presort: bool = False
+    # With depth_presort: index pairs by depth RANK and permute all
+    # per-splat blend inputs into depth order, so each tile's payload
+    # gather reads ascending (near-sequential) rows instead of random
+    # ones — targets the transaction-bound A-row gather (KERNELS.md §6).
+    # Identical output; costs one extra [P,*] permutation gather.
+    payload_depth_rank: bool = False
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -220,10 +226,15 @@ def rasterize(
                       scale_modifier=scale_modifier, tile_w=cfg.tile_w,
                       tile_h=cfg.tile_h, mean2d_offset=mean2d_offset,
                       opacity=opacity if cfg.opacity_aware_radius else None)
-    builder = (build_tile_lists_depth_presort if cfg.depth_presort
-               else build_tile_lists)
-    lists = builder(proc, grid_x, grid_y, cfg.max_tiles_per_splat,
-                    max_pairs=cfg.max_pairs)
+    use_ranks = cfg.depth_presort and cfg.payload_depth_rank
+    if cfg.depth_presort:
+        lists = build_tile_lists_depth_presort(
+            proc, grid_x, grid_y, cfg.max_tiles_per_splat,
+            max_pairs=cfg.max_pairs, return_ranks=use_ranks)
+    else:
+        lists = build_tile_lists(proc, grid_x, grid_y,
+                                 cfg.max_tiles_per_splat,
+                                 max_pairs=cfg.max_pairs)
 
     parts = [proc.rgb]
     if language_feature is not None:
@@ -238,16 +249,35 @@ def rasterize(
     # contribute (they are also absent from tile lists).
     op = jnp.where(proc.visible, opacity.reshape(-1), 0.0)
 
+    mean2d_b, conic_b, op_b, channels_b = (proc.mean2d, proc.conic, op,
+                                           channels)
+    hook_b = mean2d_abs_hook
+    if use_ranks:
+        # point_list carries depth ranks: permute every per-splat blend
+        # input into depth order (autodiff scatters gradients back
+        # through the gathers; the observe counter is un-permuted below)
+        perm = lists.perm
+        mean2d_b = proc.mean2d[perm]
+        conic_b = proc.conic[perm]
+        op_b = op[perm]
+        channels_b = channels[perm]
+        if hook_b is not None:
+            hook_b = hook_b[perm]
+
     if cfg.resolve_pallas():
         from .rasterize_pallas import blend_tiles_pallas
         accum, T, observe = blend_tiles_pallas(
-            lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y,
-            cfg, mean2d_abs_hook=mean2d_abs_hook)
+            lists, mean2d_b, conic_b, op_b, channels_b, grid_x, grid_y,
+            cfg, mean2d_abs_hook=hook_b)
     else:
         # XLA path has no exact abs-gradient support; the trainer falls
         # back to |signed| (underestimates cancellation, threshold-safe)
         accum, T, observe = blend_tiles_xla(
-            lists, proc.mean2d, proc.conic, op, channels, grid_x, grid_y, cfg)
+            lists, mean2d_b, conic_b, op_b, channels_b, grid_x, grid_y, cfg)
+
+    if use_ranks:
+        # observe[r] belongs to splat perm[r]
+        observe = jnp.zeros_like(observe).at[lists.perm].set(observe)
 
     imgs = _untile(accum, grid_x, grid_y, cfg.tile_h, cfg.tile_w, H, W)
     final_T = _untile(T[:, None, :], grid_x, grid_y, cfg.tile_h, cfg.tile_w, H, W)[0]

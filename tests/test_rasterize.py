@@ -372,6 +372,67 @@ class TestBinning:
         np.testing.assert_array_equal(np.asarray(out0.color),
                                       np.asarray(out1.color))
 
+    def test_payload_depth_rank_identical(self):
+        """payload_depth_rank: ranks + permuted blend inputs must give a
+        bitwise-identical render, identical observe counters, identical
+        gradients (incl. through opacity), and per-tile MONOTONE ranks
+        (the coherence property the knob exists for)."""
+        import dataclasses
+
+        from langscenex_tpu.ops.binning import build_tile_lists_depth_presort
+        from langscenex_tpu.ops.rasterize import RasterConfig, rasterize
+        cam = make_camera(W=48, H=24)
+        means, scales, quats, opacity, colors = random_scene(P=70, seed=31)
+        proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=16, tile_h=8)
+        gx, gy = 3, 3
+        r = build_tile_lists_depth_presort(proc, gx, gy,
+                                           max_tiles_per_splat=64,
+                                           return_ranks=True)
+        assert r.perm is not None
+        starts, counts = np.asarray(r.tile_starts), np.asarray(r.tile_counts)
+        pl = np.asarray(r.point_list)
+        for t in range(gx * gy):
+            ranks = pl[starts[t]:starts[t] + counts[t]]
+            assert np.all(np.diff(ranks) > 0), f"tile {t} ranks not monotone"
+        # perm[rank] must reproduce the id-space point list
+        b = build_tile_lists_depth_presort(proc, gx, gy,
+                                           max_tiles_per_splat=64)
+        perm = np.asarray(r.perm)
+        for t in range(gx * gy):
+            np.testing.assert_array_equal(
+                perm[pl[starts[t]:starts[t] + counts[t]]],
+                np.asarray(b.point_list)[starts[t]:starts[t] + counts[t]])
+
+        cfg_a = RasterConfig(tile_w=16, tile_h=8, depth_presort=True)
+        cfg_b = dataclasses.replace(cfg_a, payload_depth_rank=True)
+
+        def render(cfg, opac):
+            return rasterize(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), opac, cam, jnp.zeros(3),
+                             colors_precomp=jnp.asarray(colors), cfg=cfg)
+
+        oa = render(cfg_a, jnp.asarray(opacity))
+        ob = render(cfg_b, jnp.asarray(opacity))
+        np.testing.assert_array_equal(np.asarray(oa.color),
+                                      np.asarray(ob.color))
+        np.testing.assert_array_equal(np.asarray(oa.final_T),
+                                      np.asarray(ob.final_T))
+        np.testing.assert_array_equal(np.asarray(oa.out_observe),
+                                      np.asarray(ob.out_observe))
+
+        def loss(cfg):
+            def f(opac):
+                out = render(cfg, opac)
+                return jnp.sum(out.color ** 2)
+            return jax.grad(f)(jnp.asarray(opacity))
+
+        np.testing.assert_allclose(np.asarray(loss(cfg_a)),
+                                   np.asarray(loss(cfg_b)),
+                                   rtol=1e-6, atol=1e-7)
+
 
 class TestOpacityAwareBinning:
     """opacity_aware_radius bins with the alpha-support radius

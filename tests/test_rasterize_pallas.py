@@ -159,3 +159,30 @@ class TestPallasBackward:
         assert np.all(np.abs(g_signed) <= g_abs + 1e-3)
         # and abs is strictly larger somewhere (cancellation exists)
         assert np.any(g_abs > np.abs(g_signed) + 1e-5)
+
+
+class TestPallasDepthRank:
+    def test_rank_path_matches_id_path(self):
+        """payload_depth_rank through the FUSED kernel (interpret mode):
+        rank-indexed lists + depth-permuted inputs == id-indexed render."""
+        import dataclasses
+
+        from langscenex_tpu.ops.rasterize import rasterize
+        cam, arrs = make_scene(P=300, seed=7)
+        means, scales, quats, opac, colors = arrs
+        base = dataclasses.replace(CFG, use_pallas=True, depth_presort=True)
+        rank = dataclasses.replace(base, payload_depth_rank=True)
+
+        def render(cfg):
+            with pltpu.force_tpu_interpret_mode():
+                return rasterize(means, scales, quats, opac, cam,
+                                 jnp.zeros(3), colors_precomp=colors,
+                                 cfg=cfg)
+        a = render(base)
+        b = render(rank)
+        np.testing.assert_array_equal(np.asarray(a.color),
+                                      np.asarray(b.color))
+        np.testing.assert_array_equal(np.asarray(a.final_T),
+                                      np.asarray(b.final_T))
+        np.testing.assert_array_equal(np.asarray(a.out_observe),
+                                      np.asarray(b.out_observe))
