@@ -98,3 +98,14 @@ def test_denoise_loop_tensor_parallel():
     out = denoise_loop(tp, noise, img_lat, tc, tu, sched, pcfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)
+
+    # output-broadcast (lax.cond skipping the sharded DiT inside scan)
+    # must compile and run under GSPMD and match its own unsharded run
+    import dataclasses
+    pcfg_b = dataclasses.replace(pcfg, num_inference_steps=4,
+                                 broadcast_interval=2,
+                                 broadcast_window=(0.25, 1.0))
+    ref_b = denoise_loop(dense, noise, img_lat, tc, tu, sched, pcfg_b)
+    out_b = denoise_loop(tp, noise, img_lat, tc, tu, sched, pcfg_b)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               atol=5e-4, rtol=5e-4)
