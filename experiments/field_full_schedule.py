@@ -45,6 +45,9 @@ def build_scene(root: str, n_views: int = 49, W: int = 720, H: int = 480,
            + rng.normal(0, 0.25, (n_pts, 3))).astype(np.float32)
     cols = np.clip(blob_cols[which]
                    + rng.normal(0, 0.05, (n_pts, 3)), 0, 1).astype(np.float32)
+    # persist the per-blob code palette (the pipeline's colors.npy
+    # contract) so the mIoU protocol can query against it
+    np.save(os.path.join(root, "colors.npy"), blob_cols.astype(np.float32))
     from langscenex_tpu.scene.dataset_readers import write_ply_points
     write_ply_points(os.path.join(root, "points3D.ply"), pts, cols)
 
@@ -205,12 +208,56 @@ def main():
             coss.append(float(c.mean()))
     lang_cos = round(float(np.mean(coss)), 4) if coss else None
     print(f"lang cosine  {lang_cos} over {len(coss)} views")
+
+    # open-vocabulary mIoU/localization (the paper's headline protocol,
+    # eval/open_vocab.py): query codes are the per-blob palette; the GT
+    # query-index map is the seg map. The ORACLE row runs the identical
+    # protocol on the GT feature maps — it is the ceiling imposed by the
+    # protocol itself (random palette codes are not cosine-separable),
+    # so field quality is read as (field mIoU / oracle mIoU).
+    from langscenex_tpu.eval.open_vocab import eval_open_vocab
+    palette_path = os.path.join(root, "colors.npy")
+    if not os.path.exists(palette_path):        # scene built pre-palette
+        rng = np.random.default_rng(0)
+        rng.uniform(-2.5, 2.5, 40)
+        rng.uniform(-1.5, 1.5, 40)
+        rng.uniform(3.0, 9.0, 40)               # replay build_scene draws
+        np.save(palette_path, rng.uniform(0.1, 0.9, (40, 3)).astype(
+            np.float32))
+    palette = np.load(palette_path)
+    lang_maps, gt_idx_maps, oracle_maps = [], [], []
+    for f in sorted(glob.glob(os.path.join(
+            out, "eval/renders_lang_npy/*.npy"))):
+        name = os.path.basename(f)[:-4]
+        lang = np.load(f)                       # [H,W,3]
+        seg = np.load(os.path.join(root, "lang_features_dim3",
+                                   name + "_s.npy"))
+        gt_feat = np.load(os.path.join(root, "lang_features_dim3",
+                                       name + "_f.npy"))[0]   # [3,h,w]
+        Hh, Ww = lang.shape[:2]
+        yi = (np.arange(Hh) * seg.shape[0] / Hh).astype(int)
+        xi = (np.arange(Ww) * seg.shape[1] / Ww).astype(int)
+        lang_maps.append(lang.transpose(2, 0, 1))
+        gt_idx_maps.append(seg[yi][:, xi].astype(np.int32))
+        oracle_maps.append(gt_feat[:, yi][:, :, xi])
+    if lang_maps:
+        field_m = eval_open_vocab(lang_maps, gt_idx_maps, palette)
+        oracle_m = eval_open_vocab(oracle_maps, gt_idx_maps, palette)
+        print(f"open-vocab   field mIoU {field_m['miou']:.3f} "
+              f"acc {field_m['acc']:.3f} | oracle mIoU "
+              f"{oracle_m['miou']:.3f} acc {oracle_m['acc']:.3f}")
+    else:
+        field_m = oracle_m = {"miou": float("nan"), "acc": float("nan")}
+
     print(json.dumps({
         "metric": "field_full_schedule_min",
         "value": round(t_train / 60, 2), "unit": "min",
         "alive_final": int(state.splats.num_alive),
         "eval_psnr": round(float(np.mean(psnrs)), 2),
-        "lang_cos": lang_cos}), flush=True)
+        "lang_cos": lang_cos,
+        "miou": round(field_m["miou"], 4),
+        "miou_oracle": round(oracle_m["miou"], 4),
+        "loc_acc": round(field_m["acc"], 4)}), flush=True)
 
 
 if __name__ == "__main__":
