@@ -68,8 +68,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, l_ref, acc_ref):
     def _():
         l = jnp.maximum(l_ref[...], 1e-30)
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
-        # log2-domain logsumexp per row — the backward residual
-        l2_ref[0] = (m_ref[...] + jnp.log2(l))[:, 0]
+        # log2-domain logsumexp per row — the backward residual.
+        # l2 rides as [BH, Tp, 1] so its (1, bq, 1) block satisfies
+        # Mosaic's (8,128)-divisible-or-full rule (a [BH, Tp] layout
+        # with (1, bq) blocks fails to lower: dim -2 is 1 of 48).
+        l2_ref[0] = m_ref[...] + jnp.log2(l)
 
 
 def _attn_kernel_nomax(q_ref, k_ref, v_ref, o_ref, l2_ref, l_ref, acc_ref):
@@ -105,7 +108,7 @@ def _attn_kernel_nomax(q_ref, k_ref, v_ref, o_ref, l2_ref, l_ref, acc_ref):
     def _():
         l = jnp.maximum(l_ref[...], 1e-30)
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
-        l2_ref[0] = jnp.log2(l)[:, 0]   # logsumexp2 (m == 0 here)
+        l2_ref[0] = jnp.log2(l)        # logsumexp2 (m == 0 here)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -179,16 +182,16 @@ def _flash_fwd_impl(q, k, v, scale, block_q, block_k, bounded_logits):
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Tp, 1), jnp.float32),
         ],
         scratch_shapes=scratch,
     )(qp, kp, vp)
-    return out.reshape(B, H, Tp, D)[:, :, :T], l2
+    return out.reshape(B, H, Tp, D)[:, :, :T], l2[..., 0]
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l2_ref, dvec_ref,
