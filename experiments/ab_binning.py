@@ -17,7 +17,7 @@ import numpy as np
 
 from langscenex_tpu.ops.binning import (TileLists, _decode_tiles, _demand,
                                         _expand_runs, build_tile_lists)
-from langscenex_tpu.ops.projection import preprocess_splats
+from langscenex_tpu.ops.projection import preprocess
 from __graft_entry__ import _camera, _scene
 
 P = 100_000
@@ -49,6 +49,7 @@ def main():
     cam = _camera(720, 480)
     means, scales, quats, opac, shs, lang, inst = _scene(P)
     jm = jnp.asarray(means)
+    jsh = jnp.asarray(shs)
     rest = tuple(map(jnp.asarray, (scales, quats, opac)))
     gx = (720 + TW - 1) // TW
     gy = (480 + TH - 1) // TH
@@ -56,7 +57,8 @@ def main():
     A = P * K
 
     def prep(m, s, q, o):
-        return preprocess_splats(m, s, q, o, cam, tile_w=TW, tile_h=TH)
+        return preprocess(m, s, q, cam, shs=jsh, sh_degree=3, opacity=o,
+                          tile_w=TW, tile_h=TH)
 
     dt = chain(lambda m: prep(m, *rest).depth, 20, jm)
     print(f"preprocess only          : {dt*1e3:7.2f} ms", flush=True)

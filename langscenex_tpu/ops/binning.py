@@ -2,21 +2,34 @@
 
 Replaces the reference's duplicateWithKeys + cub RadixSort + identifyTileRanges
 (cuda_rasterizer/rasterizer_impl.cu:70-130,285-328) with a static-shape XLA
-formulation that mirrors the CUDA structure: an exclusive scan of per-splat
-tile counts gives each splat's write offset (InclusiveSum parity), pairs are
-run-length-expanded into a fixed ``max_pairs`` buffer (scatter + cummax — the
-XLA idiom for variable-length runs), and the buffer is lexicographically
-sorted by (tile_id, depth) with ``lax.sort(num_keys=2)``. Per-tile ranges
-come from ``searchsorted``.
+formulation. Two-tier broadcast enumeration:
 
-The pair buffer is the ONLY static capacity: a splat may touch arbitrarily
-many tiles (a screen-covering splat contributes its full tile count, exactly
-like CUDA) — the sort domain is ``max_pairs``, never P*K. An earlier [P,K]
-formulation made the sort domain scale with the largest splat's tile count,
-which blew up to ~100M-element sorts on scenes with transiently-huge splats;
-truncating instead chopped splats mid-rect, and the resulting hard edge
-pushed scale gradients UP (grow-to-cover), a positive feedback loop that
-stalled reference-scale training.
+- **Tier 1** enumerates the first ``K1 = max_tiles_per_splat`` tiles of every
+  splat on a ``[P, K1]`` grid — per-splat scalars broadcast along the K axis,
+  the layout XLA vectorizes essentially for free (measured 6.7 ms for the
+  full build at 100k splats / 1.6M pairs on v5e, vs 69 ms for a gather-form
+  run-length expansion over the flat pair buffer: per-slot gathers and
+  vector-divisor int div/mod in the [A] domain are ~10x the broadcast form,
+  experiments/ab_binning.py).
+- **Tier 2** catches the OVERFLOW tiles (k >= K1) of the ``B = big_splats``
+  largest splats on a ``[B, n_tiles - K1]`` grid, so no splat is truncated
+  mid-rect as long as at most B splats exceed K1 tiles. Mid-rect truncation
+  is what stalled reference-scale training (the hard color/alpha cliff at the
+  cut pushes scale gradients UP — grow-to-cover feedback, docs/KERNELS.md §8);
+  ``k_overflowed`` reports a tier-2 register overflow so the trainer can grow
+  ``big_splats`` (a recompile), bounding any truncation to a few iterations.
+
+A ``max_pairs`` budget caps the kept pairs by WHOLE SPLATS in id order (plus
+at most one mid-rect split at the boundary): per-splat kept-pair offsets come
+from an exclusive cumsum, and pairs past the budget are dropped before the
+sort — the same drop policy the buffer-fill formulation had, so adaptive
+growth semantics are unchanged. ``num_pairs`` always reports TRUE demand
+(f32-accumulated, saturated — an int32 cumsum would wrap past 2^31 demanded
+pairs and a wrapped-negative total would read as "no overflow").
+
+The pair list is lexicographically sorted by (tile, depth) with
+``lax.sort(num_keys=2)``; per-tile ranges come from ``searchsorted`` (a few
+hundred queries — fine; at millions of queries it compiles to while-loops).
 
 Everything is integer bookkeeping under ``stop_gradient`` — gradients flow
 through the blend, not the binning (same as CUDA).
@@ -37,63 +50,96 @@ class TileLists(NamedTuple):
     tile_counts: jnp.ndarray   # [n_tiles] int32
     num_pairs: jnp.ndarray     # [] int32 total demanded pairs (may exceed A;
                                #    saturated at int32 max — see _demand)
-    overflowed: jnp.ndarray    # [] bool: demand > max_pairs (truncated)
-    k_overflowed: jnp.ndarray = None  # [] bool: always False (kept for compat)
+    overflowed: jnp.ndarray    # [] bool: demand > max_pairs budget (truncated)
+    k_overflowed: jnp.ndarray = None  # [] bool: > big_splats splats exceeded
+                               #    K1 tiles (tier-2 register overflow)
     perm: jnp.ndarray = None   # [P] depth order (rank -> original splat id);
                                #    set only by the depth_presort builder with
                                #    return_ranks=True, where point_list holds
                                #    depth RANKS instead of original ids
 
 
-def _demand(tt: jnp.ndarray, A: int):
+def _demand(tt: jnp.ndarray, budget: int):
     """(num_pairs int32 saturated, overflowed bool) from per-splat tile
-    counts. The total is accumulated in f32 (exact to ~2^24, then ~1e-7
-    relative — plenty for a threshold): an int32 cumsum would WRAP past
-    2^31 demanded pairs (2M-splat capacity x ~1.4k tiles exceeds it), and
-    a wrapped-negative num_pairs would read as "no overflow" — silent
-    permanent truncation with adaptive growth never firing."""
+    counts vs a kept-pair budget."""
     total_f = jnp.sum(tt.astype(jnp.float32))
-    overflowed = total_f > A
+    overflowed = total_f > budget
     num_pairs = jnp.minimum(total_f, float(2 ** 31 - 1)).astype(jnp.int32)
     return num_pairs, overflowed
 
 
-def _expand_runs(tt: jnp.ndarray, A: int):
-    """Run-length expansion of per-splat tile counts into the [A] pair
-    buffer: slot -> (owning splat index, index within its rect, valid).
+def _budget_offsets(kept_tt: jnp.ndarray):
+    """Exclusive cumsum of kept-pair counts, f32 to survive >2^31 demand
+    (exact to 2^24 kept pairs — far beyond any real budget)."""
+    c = jnp.cumsum(kept_tt.astype(jnp.float32))
+    return c - kept_tt.astype(jnp.float32)
 
-    Seed each run's first slot, fill with a running max (offsets and ids
-    are both monotone, so cummax recovers the owner everywhere). Offsets
-    at/past A — including any int32-wrapped NEGATIVE offsets deep in a
-    pathological cumsum — are dropped from the seed scatter."""
+
+def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
+                        grid_x, n_tiles, budget):
+    """Broadcast-enumerate pair (tile_key, depth_key, sid) streams.
+
+    ``tt``/``rect_min``/``rect_w``/``depth``/``sid_base`` are per-splat
+    arrays in the caller's chosen order (id order or depth-rank order);
+    ``sid_base[p]`` is the value written into ``point_list``. Returns the
+    concatenated [P*K1 + B*K2] streams with budget-dropped / invalid
+    entries keyed to the ``n_tiles`` sentinel, plus the tier-2 overflow
+    flag. Pairs of splat p occupy budget offsets [off[p], off[p]+kept_tt
+    [p]), so dropping `offset >= budget` kills whole trailing splats with
+    at most one mid-rect split — the documented truncation policy."""
     P = tt.shape[0]
-    offsets = jnp.cumsum(tt) - tt                      # exclusive scan
-    ar = jnp.arange(A, dtype=jnp.int32)
-    ids = jnp.arange(P, dtype=jnp.int32)
-    in_buf = (tt > 0) & (offsets >= 0) & (offsets < A)
-    pos = jnp.where(in_buf, offsets, A)                # A == dropped
-    seed_id = jnp.zeros((A,), jnp.int32).at[pos].max(ids, mode='drop')
-    owner = jax.lax.cummax(seed_id, axis=0)            # [A] splat per slot
-    seed_off = jnp.zeros((A,), jnp.int32).at[pos].max(offsets, mode='drop')
-    k_in = ar - jax.lax.cummax(seed_off, axis=0)       # index within rect
-    # slots at/past the total demand are invalid; saturate the comparison
-    # through the f32 demand path (offsets[-1]+tt[-1] can wrap)
-    num_pairs, _ = _demand(tt, A)
-    valid = ar < jnp.minimum(num_pairs, A)
-    return owner, k_in, valid
+    if B > 0 and K2 > 0:
+        # B largest splats get their k >= K1 overflow tiles in tier 2
+        big_tt, big_idx = jax.lax.top_k(tt, B)
+        captured = big_tt > K1                       # [B]
+        cap_per_splat = jnp.zeros((P,), bool).at[big_idx].set(
+            captured, mode='drop')
+        n_big = jnp.sum((tt > K1).astype(jnp.int32))
+        k_overflowed = n_big > B
+    else:
+        cap_per_splat = jnp.zeros((P,), bool)
+        k_overflowed = jnp.zeros((), bool)
 
+    kept_tt = jnp.where(cap_per_splat, tt, jnp.minimum(tt, K1))
+    off = _budget_offsets(kept_tt)                   # [P] f32
 
-def _decode_tiles(proc: ProcessedSplats, orig: jnp.ndarray,
-                  k_in: jnp.ndarray, valid: jnp.ndarray,
-                  grid_x: int, n_tiles: int):
-    """Row-major rect enumeration -> per-slot tile id (invalid slots get
-    the n_tiles sentinel, sorting to the end)."""
-    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
-    rw = rect_w[orig]
-    tile_x = proc.rect_min[orig, 0] + k_in % rw
-    tile_y = proc.rect_min[orig, 1] + k_in // rw
-    tile_id = tile_y * grid_x + tile_x
-    return jnp.where(valid, tile_id, n_tiles).astype(jnp.int32)
+    # ---- tier 1: first K1 tiles of every splat ----------------------
+    k = jnp.arange(K1, dtype=jnp.int32)
+    kx = k[None, :] % rect_w[:, None]
+    ky = k[None, :] // rect_w[:, None]
+    tile_id1 = ((rect_min[:, 1:2] + ky) * grid_x
+                + rect_min[:, 0:1] + kx)             # [P, K1]
+    valid1 = (k[None, :] < tt[:, None]) \
+        & (off[:, None] + k[None, :] < budget)
+    key_tile1 = jnp.where(valid1, tile_id1, n_tiles).reshape(-1)
+    key_depth1 = jnp.broadcast_to(depth[:, None], (P, K1)).reshape(-1)
+    sid1 = jnp.broadcast_to(sid_base[:, None], (P, K1)).reshape(-1)
+
+    if not (B > 0 and K2 > 0):
+        return (key_tile1.astype(jnp.int32), key_depth1, sid1,
+                k_overflowed)
+
+    # ---- tier 2: overflow tiles (k in [K1, tt)) of the captured big --
+    rw2 = rect_w[big_idx]
+    rm2 = rect_min[big_idx]
+    d2 = depth[big_idx]
+    s2 = sid_base[big_idx]
+    off2 = off[big_idx]
+    k2 = K1 + jnp.arange(K2, dtype=jnp.int32)        # [K2]
+    kx2 = k2[None, :] % rw2[:, None]
+    ky2 = k2[None, :] // rw2[:, None]
+    tile_id2 = ((rm2[:, 1:2] + ky2) * grid_x
+                + rm2[:, 0:1] + kx2)                 # [B, K2]
+    valid2 = captured[:, None] & (k2[None, :] < big_tt[:, None]) \
+        & (off2[:, None] + k2[None, :] < budget)
+    key_tile2 = jnp.where(valid2, tile_id2, n_tiles).reshape(-1)
+    key_depth2 = jnp.broadcast_to(d2[:, None], (B, K2)).reshape(-1)
+    sid2 = jnp.broadcast_to(s2[:, None], (B, K2)).reshape(-1)
+
+    return (jnp.concatenate([key_tile1, key_tile2]).astype(jnp.int32),
+            jnp.concatenate([key_depth1, key_depth2]),
+            jnp.concatenate([sid1, sid2]),
+            k_overflowed)
 
 
 def _tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int):
@@ -106,73 +152,86 @@ def _tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int):
     return tile_starts, tile_ends - tile_starts
 
 
+def _finish(key_tile, key_depth, sid, n_tiles, max_pairs):
+    """(tile, depth) 2-key sort + optional slice + per-tile ranges.
+    Budget-masking upstream guarantees every surviving pair sorts into
+    the first ``max_pairs`` slots (invalid pairs carry the sentinel)."""
+    sorted_tile, _, point_list = jax.lax.sort(
+        (key_tile, key_depth, sid), num_keys=2)
+    if max_pairs is not None and max_pairs < sorted_tile.shape[0]:
+        sorted_tile = sorted_tile[:max_pairs]
+        point_list = point_list[:max_pairs]
+    tile_starts, tile_counts = _tile_ranges(sorted_tile, n_tiles)
+    return point_list, tile_starts, tile_counts
+
+
 def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      max_tiles_per_splat: int = 32,
-                     max_pairs: int | None = None) -> TileLists:
+                     max_pairs: int | None = None,
+                     big_splats: int = 256) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
-    ``max_pairs`` sizes the pair buffer (default: P * max_tiles_per_splat,
-    the legacy sizing — ``max_tiles_per_splat`` no longer bounds any
-    single splat, it only feeds this default). When the scene demands more
-    pairs than the buffer holds, whole trailing splats (by id) are dropped
-    plus at most one split mid-rect, and ``overflowed`` reports it so the
-    caller can grow the cap; ``num_pairs`` is the TRUE demand (saturated
-    at int32 max), so growth can jump straight to it.
+    ``max_tiles_per_splat`` (K1) sizes the tier-1 enumeration;
+    ``big_splats`` (B) sizes the tier-2 register for splats exceeding K1
+    tiles (exact up to the full grid — no mid-rect truncation while at
+    most B splats are that big; ``k_overflowed`` reports otherwise).
+    ``max_pairs`` caps the KEPT pairs — whole trailing splats (by id)
+    are dropped past the budget, ``overflowed`` reports it, and
+    ``num_pairs`` is the true demand so adaptive growth can jump
+    straight to it.
     """
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
-    A = max_pairs if max_pairs is not None else P * max_tiles_per_splat
-    A = min(A, P * n_tiles)
+    K1 = min(max_tiles_per_splat, n_tiles)
+    K2 = n_tiles - K1
+    B = min(big_splats, P)
+    budget = max_pairs if max_pairs is not None else P * K1 + B * K2
 
-    # exclusive scan of true tile counts -> per-splat write offsets
-    # (rasterizer_impl.cu:299 InclusiveSum), expanded into the buffer
     tt = jax.lax.stop_gradient(proc.tiles_touched)     # [P], 0 for culled
-    sid, k_in, valid = _expand_runs(tt, A)
-    key_tile = _decode_tiles(proc, sid, k_in, valid, grid_x, n_tiles)
+    depth = jax.lax.stop_gradient(proc.depth)
+    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
+    sid_base = jnp.arange(P, dtype=jnp.int32)
 
-    key_depth = jax.lax.stop_gradient(proc.depth)[sid]
-    sorted_tile, _, point_list = jax.lax.sort(
-        (key_tile, key_depth, sid), num_keys=2)
+    key_tile, key_depth, sid, k_overflowed = _enumerate_two_tier(
+        tt, proc.rect_min, rect_w, depth, sid_base, K1, K2, B,
+        grid_x, n_tiles, budget)
+    point_list, tile_starts, tile_counts = _finish(
+        key_tile, key_depth, sid, n_tiles, max_pairs)
 
-    num_pairs, overflowed = _demand(tt, A)
-    tile_starts, tile_counts = _tile_ranges(sorted_tile, n_tiles)
+    num_pairs, overflowed = _demand(tt, budget)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_counts,
-                     num_pairs=num_pairs, overflowed=overflowed,
-                     k_overflowed=jnp.zeros((), bool))
+                     num_pairs=num_pairs,
+                     overflowed=overflowed | k_overflowed,
+                     k_overflowed=k_overflowed)
 
 
 def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
                                    grid_y: int,
                                    max_tiles_per_splat: int = 32,
                                    max_pairs: int | None = None,
+                                   big_splats: int = 256,
                                    return_ranks: bool = False) -> TileLists:
-    """Same contract as :func:`build_tile_lists`, different sort split.
-
-    Sort the SPLATS by depth first (a [P] sort, ~16x smaller than the
-    pair domain), expand runs in depth order, then STABLE-sort pairs by
-    tile id alone — stability preserves the depth order within each tile,
-    so the big [A] sort carries 1 key + 1 payload instead of 2 keys +
-    1 payload. Equivalent output up to depth-tie ordering (CUDA's radix
-    order on ties is implementation-defined too, rasterizer_impl.cu:310).
-
-    Overflow semantics differ from the default builder in WHICH pairs are
-    dropped when demand > A (nearest-depth splats survive here — a
-    strictly better truncation policy than trailing-id), so `overflowed`
-    still reports identically and growth logic is unchanged.
+    """Same contract as :func:`build_tile_lists`, enumerated in DEPTH
+    order: splats are [P]-sorted by depth first and pairs keyed by
+    (tile, depth RANK) — deterministic on depth ties, and the
+    ``max_pairs`` budget drops the FARTHEST splats first (a strictly
+    better truncation policy than trailing-id). ``overflowed`` reports
+    identically, so growth logic is unchanged.
 
     ``return_ranks=True``: ``point_list`` holds depth RANKS and ``perm``
     maps rank -> original id. Within every tile the ranks are then
-    MONOTONICALLY INCREASING (stable tile sort of an already-rank-ordered
-    stream), so a blend payload table permuted into depth order is read
-    with locally coherent, ascending row indices — the A-row payload
-    gather (the measured transaction-bound cost, KERNELS.md §6) becomes
-    near-sequential instead of random.
+    MONOTONICALLY INCREASING, so a blend payload table permuted into
+    depth order is read with locally coherent ascending row indices —
+    the A-row payload gather (the measured transaction-bound cost,
+    KERNELS.md §6) becomes near-sequential instead of random.
     """
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
-    A = max_pairs if max_pairs is not None else P * max_tiles_per_splat
-    A = min(A, P * n_tiles)
+    K1 = min(max_tiles_per_splat, n_tiles)
+    K2 = n_tiles - K1
+    B = min(big_splats, P)
+    budget = max_pairs if max_pairs is not None else P * K1 + B * K2
 
     tt0 = jax.lax.stop_gradient(proc.tiles_touched)      # [P], 0 for culled
     depth0 = jax.lax.stop_gradient(proc.depth)
@@ -181,19 +240,23 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     _, perm = jax.lax.sort((dkey, jnp.arange(P, dtype=jnp.int32)),
                            num_keys=1)
     tt = tt0[perm]
-    sid, k_in, valid = _expand_runs(tt, A)
-    orig = perm[sid]                                     # original splat id
-    key_tile = _decode_tiles(proc, orig, k_in, valid, grid_x, n_tiles)
+    rect_min = proc.rect_min[perm]
+    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)[perm]
+    rank = jnp.arange(P, dtype=jnp.int32)
 
-    # stable single-key sort: depth order within each tile is preserved
-    payload = sid if return_ranks else orig
-    sorted_tile, point_list = jax.lax.sort((key_tile, payload), num_keys=1,
-                                           is_stable=True)
+    # depth key = RANK (same order as depth, deterministic on ties)
+    key_tile, key_rank, sid, k_overflowed = _enumerate_two_tier(
+        tt, rect_min, rect_w, rank, rank, K1, K2, B,
+        grid_x, n_tiles, budget)
+    point_list, tile_starts, tile_counts = _finish(
+        key_tile, key_rank, sid, n_tiles, max_pairs)
+    if not return_ranks:
+        point_list = perm[point_list]
 
-    num_pairs, overflowed = _demand(tt, A)
-    tile_starts, tile_counts = _tile_ranges(sorted_tile, n_tiles)
+    num_pairs, overflowed = _demand(tt, budget)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_counts,
-                     num_pairs=num_pairs, overflowed=overflowed,
-                     k_overflowed=jnp.zeros((), bool),
+                     num_pairs=num_pairs,
+                     overflowed=overflowed | k_overflowed,
+                     k_overflowed=k_overflowed,
                      perm=perm if return_ranks else None)

@@ -48,6 +48,10 @@ class RasterConfig:
     tile_h: int = 8             # sublane-aligned tile height
     max_tiles_per_splat: int = 32
     max_pairs: int | None = None   # cap on the sorted pair list (binning)
+    # Tier-2 register size: splats exceeding max_tiles_per_splat tiles
+    # get their overflow tiles enumerated exactly for up to this many
+    # splats (binning two-tier scheme; k_overflowed reports exhaustion)
+    big_splats: int = 256
     chunk: int = 128            # splats blended per scan step
     max_splats_per_tile: int = 4096  # per-tile list truncation (XLA path only)
     use_pallas: Optional[bool] = None  # None = auto (fused kernel on TPU)
@@ -85,8 +89,8 @@ class RenderOutput(NamedTuple):
     out_observe: jnp.ndarray      # [P] int32
     visible: jnp.ndarray          # [P] bool
     pairs_overflowed: jnp.ndarray  # [] bool: pair demand > max_pairs buffer
-    k_overflowed: Optional[jnp.ndarray] = None   # [] bool: always False
-    #                                              (legacy; K no longer caps)
+    k_overflowed: Optional[jnp.ndarray] = None   # [] bool: tier-2 big-splat
+    #                       register exhausted (grow RasterConfig.big_splats)
     num_pairs: Optional[jnp.ndarray] = None      # [] int32 TRUE pair demand
     #                      (may exceed the buffer/point_list length when
     #                       pairs_overflowed; saturated at int32 max)
@@ -230,11 +234,13 @@ def rasterize(
     if cfg.depth_presort:
         lists = build_tile_lists_depth_presort(
             proc, grid_x, grid_y, cfg.max_tiles_per_splat,
-            max_pairs=cfg.max_pairs, return_ranks=use_ranks)
+            max_pairs=cfg.max_pairs, big_splats=cfg.big_splats,
+            return_ranks=use_ranks)
     else:
         lists = build_tile_lists(proc, grid_x, grid_y,
                                  cfg.max_tiles_per_splat,
-                                 max_pairs=cfg.max_pairs)
+                                 max_pairs=cfg.max_pairs,
+                                 big_splats=cfg.big_splats)
 
     parts = [proc.rgb]
     if language_feature is not None:

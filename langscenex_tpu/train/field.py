@@ -622,6 +622,18 @@ class GaussianFieldTrainer:
         a single splat may touch arbitrarily many tiles (ops/binning.py)."""
         import logging
         log_ = logging.getLogger(__name__)
+        # tier-2 register exhausted (> big_splats splats exceed K1 tiles):
+        # growing max_pairs cannot clear this — double the register
+        if float(metrics.get('k_overflow', 0.0)) > 0:
+            new_b = 2 * self.rcfg.big_splats
+            self.rcfg = dataclasses.replace(self.rcfg, big_splats=new_b)
+            self._steps.clear()
+            log_.warning(
+                "big-splat register overflowed — growing big_splats to "
+                "%d (recompile)", new_b)
+            if float(metrics.get('num_pairs', 0.0)) <= \
+                    float(self.rcfg.max_pairs or 0):
+                return      # demand fits; the register was the only issue
         mp = self.rcfg.max_pairs
         if mp is None:
             return
