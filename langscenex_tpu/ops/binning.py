@@ -53,6 +53,9 @@ class TileLists(NamedTuple):
     overflowed: jnp.ndarray    # [] bool: demand > max_pairs budget (truncated)
     k_overflowed: jnp.ndarray = None  # [] bool: > big_splats splats exceeded
                                #    K1 tiles (tier-2 register overflow)
+    num_big: jnp.ndarray = None  # [] int32 TRUE count of splats exceeding
+                               #    K1 tiles (so growth can jump straight
+                               #    to 1.25x instead of doubling)
     perm: jnp.ndarray = None   # [P] depth order (rank -> original splat id);
                                #    set only by the depth_presort builder with
                                #    return_ranks=True, where point_list holds
@@ -98,7 +101,8 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
         k_overflowed = n_big > B
     else:
         cap_per_splat = jnp.zeros((P,), bool)
-        k_overflowed = jnp.zeros((), bool)
+        n_big = jnp.sum((tt > K1).astype(jnp.int32))
+        k_overflowed = n_big > 0 if K2 > 0 else jnp.zeros((), bool)
 
     kept_tt = jnp.where(cap_per_splat, tt, jnp.minimum(tt, K1))
     off = _budget_offsets(kept_tt)                   # [P] f32
@@ -117,7 +121,7 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
 
     if not (B > 0 and K2 > 0):
         return (key_tile1.astype(jnp.int32), key_depth1, sid1,
-                k_overflowed)
+                k_overflowed, n_big)
 
     # ---- tier 2: overflow tiles (k in [K1, tt)) of the captured big --
     rw2 = rect_w[big_idx]
@@ -139,7 +143,7 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
     return (jnp.concatenate([key_tile1, key_tile2]).astype(jnp.int32),
             jnp.concatenate([key_depth1, key_depth2]),
             jnp.concatenate([sid1, sid2]),
-            k_overflowed)
+            k_overflowed, n_big)
 
 
 def _tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int):
@@ -192,7 +196,7 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
     sid_base = jnp.arange(P, dtype=jnp.int32)
 
-    key_tile, key_depth, sid, k_overflowed = _enumerate_two_tier(
+    key_tile, key_depth, sid, k_overflowed, num_big = _enumerate_two_tier(
         tt, proc.rect_min, rect_w, depth, sid_base, K1, K2, B,
         grid_x, n_tiles, budget)
     point_list, tile_starts, tile_counts = _finish(
@@ -203,7 +207,7 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      tile_counts=tile_counts,
                      num_pairs=num_pairs,
                      overflowed=overflowed | k_overflowed,
-                     k_overflowed=k_overflowed)
+                     k_overflowed=k_overflowed, num_big=num_big)
 
 
 def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
@@ -245,7 +249,7 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     rank = jnp.arange(P, dtype=jnp.int32)
 
     # depth key = RANK (same order as depth, deterministic on ties)
-    key_tile, key_rank, sid, k_overflowed = _enumerate_two_tier(
+    key_tile, key_rank, sid, k_overflowed, num_big = _enumerate_two_tier(
         tt, rect_min, rect_w, rank, rank, K1, K2, B,
         grid_x, n_tiles, budget)
     point_list, tile_starts, tile_counts = _finish(
@@ -258,5 +262,5 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
                      tile_counts=tile_counts,
                      num_pairs=num_pairs,
                      overflowed=overflowed | k_overflowed,
-                     k_overflowed=k_overflowed,
+                     k_overflowed=k_overflowed, num_big=num_big,
                      perm=perm if return_ranks else None)

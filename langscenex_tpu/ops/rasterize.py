@@ -94,6 +94,8 @@ class RenderOutput(NamedTuple):
     num_pairs: Optional[jnp.ndarray] = None      # [] int32 TRUE pair demand
     #                      (may exceed the buffer/point_list length when
     #                       pairs_overflowed; saturated at int32 max)
+    num_big: Optional[jnp.ndarray] = None        # [] int32 TRUE big-splat
+    #                       count (tier-2 demand; see binning.TileLists)
 
 
 def _tile_pixel_coords(grid_x: int, grid_y: int, tile_h: int, tile_w: int):
@@ -313,4 +315,5 @@ def rasterize(
                         out_observe=observe, visible=proc.visible,
                         pairs_overflowed=lists.overflowed,
                         k_overflowed=lists.k_overflowed,
-                        num_pairs=lists.num_pairs)
+                        num_pairs=lists.num_pairs,
+                        num_big=lists.num_big)

@@ -323,6 +323,8 @@ def view_loss(cfg: OptimizationConfig, flags: StepFlags, rcfg: RasterConfig,
         metrics['k_overflow'] = out.k_overflowed.astype(jnp.float32)
     if out.num_pairs is not None:
         metrics['num_pairs'] = out.num_pairs.astype(jnp.float32)
+    if out.num_big is not None:
+        metrics['num_big'] = out.num_big.astype(jnp.float32)
     aux = (metrics, out.radii, out.out_observe, out.visible)
     return total, aux
 
@@ -625,7 +627,8 @@ class GaussianFieldTrainer:
         # tier-2 register exhausted (> big_splats splats exceed K1 tiles):
         # growing max_pairs cannot clear this — double the register
         if float(metrics.get('k_overflow', 0.0)) > 0:
-            new_b = 2 * self.rcfg.big_splats
+            nb = float(metrics.get('num_big', 0.0))
+            new_b = max(2 * self.rcfg.big_splats, int(1.25 * nb))
             self.rcfg = dataclasses.replace(self.rcfg, big_splats=new_b)
             self._steps.clear()
             log_.warning(
