@@ -73,7 +73,7 @@ class RasterConfig:
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        if self.tile_w != 128 or self.tile_h != 8:
+        if self.tile_w * self.tile_h != 1024:
             return False
         return jax.default_backend() == "tpu"
 

@@ -50,9 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TileLists
 
 S_CHUNK = 128          # splats per chunk (lane-aligned)
-TILE_H = 8
-TILE_W = 128
-NPX = TILE_H * TILE_W  # 1024 pixels per tile, flattened on the lane axis
+NPX = 1024             # pixels per tile, flattened on the lane axis; the
+                       # tile SHAPE (tile_h x tile_w, product 1024) is a
+                       # free parameter — pixel coordinates are DATA in
+                       # the falloff bilinear form, not layout, so square
+                       # 32x32 tiles (fewer tile-overlap pairs for round
+                       # splats) cost nothing in the kernel itself
 ROWS = 24              # payload rows: 6 geom + 16 channels + 2 pad; the
                        # bwd packs exactly 24 (6 geom + 16 dch + 2 abs).
                        # 24 = 3 sublane tiles; vs 32 it cuts gather +
@@ -60,8 +63,6 @@ ROWS = 24              # payload rows: 6 geom + 16 channels + 2 pad; the
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 LOG_T_EPS = float(np.log(1e-4))
-CENTER_X = 64.0        # tile-center offsets (see module docstring)
-CENTER_Y = 4.0
 
 
 class AlignedPairs(NamedTuple):
@@ -123,13 +124,13 @@ def build_aligned_pairs(lists: TileLists, n_tiles: int) -> AlignedPairs:
 
 # ------------------------------------------------------------------ kernels
 
-def _pixel_basis():
+def _pixel_basis(tile_w: int, tile_h: int):
     """v(p): [8, NPX] rows = [1, px, py, px^2, py^2, px*py, 0, 0] in
     tile-center-relative coords, pixels flattened y-major
-    (p = y*TILE_W + x) to match rasterize._untile."""
+    (p = y*tile_w + x) to match rasterize._untile."""
     l = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
-    px = (l % TILE_W).astype(jnp.float32) - CENTER_X
-    py = (l // TILE_W).astype(jnp.float32) - CENTER_Y
+    px = (l % tile_w).astype(jnp.float32) - (tile_w // 2)
+    py = (l // tile_w).astype(jnp.float32) - (tile_h // 2)
     one = jnp.ones((1, NPX), jnp.float32)
     zero = jnp.zeros((1, NPX), jnp.float32)
     return jnp.concatenate([one, px, py, px * px, py * py, px * py,
@@ -203,21 +204,21 @@ def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
     return power, ealpha, alpha, include, T_excl, w, new_carry, new_done
 
 
-def _tile_center(t, grid_x):
-    cx = ((t % grid_x) * TILE_W + int(CENTER_X)).astype(jnp.float32)
-    cy = ((t // grid_x) * TILE_H + int(CENTER_Y)).astype(jnp.float32)
+def _tile_center(t, grid_x, tile_w: int, tile_h: int):
+    cx = ((t % grid_x) * tile_w + tile_w // 2).astype(jnp.float32)
+    cy = ((t // grid_x) * tile_h + tile_h // 2).astype(jnp.float32)
     return cx, cy
 
 
 def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 pay_hbm, img_ref, obs_hbm,
                 pay_buf, obs_buf, acc_ref, carry_ref, done_ref,
-                in_sems, obs_sem):
+                in_sems, obs_sem, *, tile_w: int, tile_h: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    tile_cx, tile_cy = _tile_center(t, grid_x_ref[0])
-    v = _pixel_basis()
+    tile_cx, tile_cy = _tile_center(t, grid_x_ref[0], tile_w, tile_h)
+    v = _pixel_basis(tile_w, tile_h)
     n_chunks = pl.cdiv(count, S_CHUNK)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -306,7 +307,8 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
     img_ref[0, 17:18] = done_ref[...]
 
 
-def _blend_fwd_impl(pay3, starts, counts, grid_x: int, n_tiles: int):
+def _blend_fwd_impl(pay3, starts, counts, grid_x: int, n_tiles: int,
+                    tile_w: int, tile_h: int):
     A = pay3.shape[0] * S_CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -327,7 +329,7 @@ def _blend_fwd_impl(pay3, starts, counts, grid_x: int, n_tiles: int):
             pltpu.SemaphoreType.DMA,
         ])
     img, obs = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, tile_w=tile_w, tile_h=tile_h),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 18, NPX), jnp.float32),
@@ -342,12 +344,12 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 pay_hbm, gimg_ref, img_ref,
                 packed_hbm,
                 pay_buf, out_buf, carry_ref, done_ref, tot_ref,
-                in_sems, out_sem):
+                in_sems, out_sem, *, tile_w: int, tile_h: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    tile_cx, tile_cy = _tile_center(t, grid_x_ref[0])
-    v = _pixel_basis()
+    tile_cx, tile_cy = _tile_center(t, grid_x_ref[0], tile_w, tile_h)
+    v = _pixel_basis(tile_w, tile_h)
     n_chunks = pl.cdiv(count, S_CHUNK)
 
     carry_ref[...] = jnp.zeros_like(carry_ref)
@@ -479,7 +481,7 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
 
 
 def _blend_bwd_impl(pay3, starts, counts, img, gimg,
-                    grid_x: int, n_tiles: int):
+                    grid_x: int, n_tiles: int, tile_w: int, tile_h: int):
     A = pay3.shape[0] * S_CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -500,7 +502,7 @@ def _blend_bwd_impl(pay3, starts, counts, img, gimg,
             pltpu.SemaphoreType.DMA,
         ])
     packed, = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, tile_w=tile_w, tile_h=tile_h),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((A // S_CHUNK, ROWS, S_CHUNK),
                                         jnp.float32)],
@@ -511,8 +513,9 @@ def _blend_bwd_impl(pay3, starts, counts, img, gimg,
 
 # ------------------------------------------------- custom-vjp pair blend
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def blend_pairs(pay3, abs_hook, starts, counts, grid_x, n_tiles):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_pairs(pay3, abs_hook, starts, counts, grid_x, n_tiles,
+                tile_w, tile_h):
     """(img [n_tiles,18,NPX], obs [A/128,128]) from the raw pair payload.
 
     pay3 [A/128, 24, 128]: per-chunk blocks in the [rows, splats] math
@@ -520,19 +523,22 @@ def blend_pairs(pay3, abs_hook, starts, counts, grid_x, n_tiles):
     xs/ys — the kernel shifts to tile-local). abs_hook [A,2] zeros; its
     cotangent carries the exact abs screen-gradients.
     """
-    return _blend_fwd_impl(pay3, starts, counts, grid_x, n_tiles)
+    return _blend_fwd_impl(pay3, starts, counts, grid_x, n_tiles,
+                           tile_w, tile_h)
 
 
-def _bp_fwd(pay3, abs_hook, starts, counts, grid_x, n_tiles):
-    img, obs = _blend_fwd_impl(pay3, starts, counts, grid_x, n_tiles)
+def _bp_fwd(pay3, abs_hook, starts, counts, grid_x, n_tiles,
+            tile_w, tile_h):
+    img, obs = _blend_fwd_impl(pay3, starts, counts, grid_x, n_tiles,
+                               tile_w, tile_h)
     return (img, obs), (pay3, starts, counts, img)
 
 
-def _bp_bwd(grid_x, n_tiles, res, cot):
+def _bp_bwd(grid_x, n_tiles, tile_w, tile_h, res, cot):
     pay3, starts, counts, img = res
     gimg, _ = cot
     packed = _blend_bwd_impl(pay3, starts, counts, img, gimg,
-                             grid_x, n_tiles)
+                             grid_x, n_tiles, tile_w, tile_h)
     dpay = packed.at[:, 22:].set(0.0)     # abs rows are not payload grads
     dhook = packed[:, 22:24].transpose(0, 2, 1).reshape(-1, 2)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -548,12 +554,13 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
                        grid_x: int, grid_y: int, cfg,
                        mean2d_abs_hook=None):
     """Drop-in replacement for blend_tiles_xla (same return contract) using
-    the fused kernel. Requires cfg.tile_w == 128 and cfg.tile_h == 8.
+    the fused kernel. Requires cfg.tile_w * cfg.tile_h == 1024 (the kernel
+    flattens each tile onto 1024 lanes; the rectangle shape is free).
 
     ``mean2d_abs_hook``: optional [P,2] zeros whose gradient receives the
     per-splat summed |screen gradient| (pixel units)."""
-    assert cfg.tile_w == TILE_W and cfg.tile_h == TILE_H, \
-        "pallas blend requires 8x128 tiles"
+    assert cfg.tile_w * cfg.tile_h == NPX, \
+        "pallas blend requires tile_w*tile_h == 1024"
     n_tiles = grid_x * grid_y
     P = mean2d.shape[0]
     C = channels.shape[1]
@@ -589,7 +596,7 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
         hook = jnp.zeros((ap.src.shape[0], 2), jnp.float32)
 
     img, obs = blend_pairs(pay3, hook, ap.starts, ap.counts,
-                           grid_x, n_tiles)
+                           grid_x, n_tiles, cfg.tile_w, cfg.tile_h)
 
     accum = img[:, :C, :]
     T = img[:, 16, :]

@@ -161,6 +161,41 @@ class TestPallasBackward:
         assert np.any(g_abs > np.abs(g_signed) + 1e-5)
 
 
+class TestPallasSquareTiles:
+    def test_32x32_matches_xla_and_default_tiles(self):
+        """The kernel's tile rectangle is a free parameter (pixels are DATA
+        on the 1024-lane axis): a 32x32-tile render must match both the XLA
+        path at the same tiling and the 128x8 pallas render (grads too)."""
+        import dataclasses
+
+        from langscenex_tpu.ops.rasterize import rasterize
+        cam, arrs = make_scene(P=300, seed=9)
+        means, scales, quats, opac, colors = arrs
+        sq = RasterConfig(tile_w=32, tile_h=32, max_tiles_per_splat=32,
+                          chunk=128, max_splats_per_tile=1024,
+                          use_pallas=True)
+
+        def render(cfg):
+            def f(op):
+                with pltpu.force_tpu_interpret_mode():
+                    out = rasterize(means, scales, quats, op, cam,
+                                    jnp.zeros(3), colors_precomp=colors,
+                                    cfg=cfg)
+                return jnp.sum(out.color ** 2), out.color
+            with pltpu.force_tpu_interpret_mode():
+                (loss, color), g = jax.value_and_grad(f, has_aux=True)(opac)
+            return np.asarray(color), np.asarray(g)
+
+        c_sq, g_sq = render(sq)
+        c_xla, g_xla = render(dataclasses.replace(sq, use_pallas=False))
+        c_def, _ = render(dataclasses.replace(CFG, use_pallas=True))
+        np.testing.assert_allclose(c_sq, c_xla, atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(g_sq, g_xla, atol=2e-3, rtol=5e-3)
+        # cross-tiling: different tile-center-relative f32 rounding can
+        # flip isolated near-threshold inclusions; bound, don't bit-match
+        np.testing.assert_allclose(c_sq, c_def, atol=5e-3, rtol=1e-2)
+
+
 class TestPallasDepthRank:
     def test_rank_path_matches_id_path(self):
         """payload_depth_rank through the FUSED kernel (interpret mode):
