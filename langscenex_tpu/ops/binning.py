@@ -44,6 +44,47 @@ import jax.numpy as jnp
 from .projection import ProcessedSplats
 
 
+class CullSpec(NamedTuple):
+    """Per-splat data for exact per-tile conic culling (tile_cull).
+
+    A (splat, tile) pair is droppable iff every pixel of the tile fails
+    the blend's own alpha >= 1/255 test, i.e. iff the MINIMUM of the
+    conic quadratic Q(d) = a dx^2 + 2b dx dy + c dy^2 over the tile
+    rectangle exceeds qmax = 2*ln(255*opacity) (+ f32 margin). The min is
+    closed-form (0 if the mean lies inside the rect, else the min over
+    the 4 edges — each a clamped 1-D quadratic vertex), so the cull is
+    EXACT: output is unchanged, only provably-invisible pairs drop.
+    This is what kills the AABB corners (a circle covers ~79% of its
+    bounding square) and most of the rect of elongated splats (whose
+    AABB is sized by the major axis but whose support is a thin ellipse).
+    """
+    mean2d: jnp.ndarray      # [P,2] pixel-space means
+    conic: jnp.ndarray       # [P,3] (a, b, c) inverse 2D covariance
+    qmax: jnp.ndarray        # [P] support threshold 2*ln(255*op) + margin
+    tile_w: int
+    tile_h: int
+
+
+def _rect_qmin(a, b, c, lx, hx, ly, hy):
+    """Exact min of Q(dx,dy) = a dx^2 + 2b dx dy + c dy^2 over
+    [lx,hx]x[ly,hy] for PSD conics (a,c > 0). Broadcasts elementwise."""
+    a = jnp.maximum(a, 1e-12)
+    c = jnp.maximum(c, 1e-12)
+    inside = (lx <= 0.0) & (0.0 <= hx) & (ly <= 0.0) & (0.0 <= hy)
+
+    def edge_x(ex):           # dx fixed at ex, dy free
+        dy = jnp.clip(-b * ex / c, ly, hy)
+        return (a * ex) * ex + 2.0 * (b * ex) * dy + (c * dy) * dy
+
+    def edge_y(ey):           # dy fixed at ey, dx free
+        dx = jnp.clip(-b * ey / a, lx, hx)
+        return (a * dx) * dx + 2.0 * (b * dx) * ey + (c * ey) * ey
+
+    q = jnp.minimum(jnp.minimum(edge_x(lx), edge_x(hx)),
+                    jnp.minimum(edge_y(ly), edge_y(hy)))
+    return jnp.where(inside, 0.0, q)
+
+
 class TileLists(NamedTuple):
     point_list: jnp.ndarray    # [A] splat ids in (tile, depth) order
     tile_starts: jnp.ndarray   # [n_tiles] int32 start index into point_list
@@ -79,17 +120,23 @@ def _budget_offsets(kept_tt: jnp.ndarray):
 
 
 def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
-                        grid_x, n_tiles, budget):
+                        grid_x, n_tiles, budget, cull=None):
     """Broadcast-enumerate pair (tile_key, depth_key, sid) streams.
 
     ``tt``/``rect_min``/``rect_w``/``depth``/``sid_base`` are per-splat
     arrays in the caller's chosen order (id order or depth-rank order);
     ``sid_base[p]`` is the value written into ``point_list``. Returns the
     concatenated [P*K1 + B*K2] streams with budget-dropped / invalid
-    entries keyed to the ``n_tiles`` sentinel, plus the tier-2 overflow
-    flag. Pairs of splat p occupy budget offsets [off[p], off[p]+kept_tt
-    [p]), so dropping `offset >= budget` kills whole trailing splats with
-    at most one mid-rect split — the documented truncation policy."""
+    entries keyed to the ``n_tiles`` sentinel, the tier-2 overflow flag,
+    the true big-splat count, and the kept-pair demand (f32; None without
+    culling — callers then use the AABB demand). Pairs of splat p occupy
+    budget offsets [off[p], off[p]+kept[p]), so dropping `offset >=
+    budget` kills whole trailing splats with at most one mid-rect split —
+    the documented truncation policy (measured in post-cull pairs when
+    ``cull`` is given, so a budget sized to culled demand drops nothing).
+
+    ``cull``: optional :class:`CullSpec` with per-splat rows ALREADY in
+    the caller's order; enables the exact per-tile conic cull."""
     P = tt.shape[0]
     if B > 0 and K2 > 0:
         # B largest splats get their k >= K1 overflow tiles in tier 2
@@ -100,50 +147,97 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
         n_big = jnp.sum((tt > K1).astype(jnp.int32))
         k_overflowed = n_big > B
     else:
+        big_idx = None
         cap_per_splat = jnp.zeros((P,), bool)
         n_big = jnp.sum((tt > K1).astype(jnp.int32))
         k_overflowed = n_big > 0 if K2 > 0 else jnp.zeros((), bool)
 
-    kept_tt = jnp.where(cap_per_splat, tt, jnp.minimum(tt, K1))
-    off = _budget_offsets(kept_tt)                   # [P] f32
+    def tile_xy(rm, rw, kk):
+        kx = kk % rw[:, None]
+        ky = kk // rw[:, None]
+        return rm[:, 0:1] + kx, rm[:, 1:2] + ky
+
+    def cull_keep(cl, tx, ty):
+        """Exact conic-support test per (splat-row, tile): keep iff some
+        pixel of the tile can pass the blend's alpha >= 1/255 gate."""
+        mx, my, ca, cb, cc, qmax = cl
+        lx = (tx * cull.tile_w).astype(jnp.float32) - mx[:, None]
+        ly = (ty * cull.tile_h).astype(jnp.float32) - my[:, None]
+        hx = lx + (cull.tile_w - 1)
+        hy = ly + (cull.tile_h - 1)
+        qmin = _rect_qmin(ca[:, None], cb[:, None], cc[:, None],
+                          lx, hx, ly, hy)
+        return qmin <= qmax[:, None]
 
     # ---- tier 1: first K1 tiles of every splat ----------------------
     k = jnp.arange(K1, dtype=jnp.int32)
-    kx = k[None, :] % rect_w[:, None]
-    ky = k[None, :] // rect_w[:, None]
-    tile_id1 = ((rect_min[:, 1:2] + ky) * grid_x
-                + rect_min[:, 0:1] + kx)             # [P, K1]
-    valid1 = (k[None, :] < tt[:, None]) \
-        & (off[:, None] + k[None, :] < budget)
+    tx1, ty1 = tile_xy(rect_min, rect_w, k[None, :])
+    tile_id1 = ty1 * grid_x + tx1                    # [P, K1]
+    in_rect1 = k[None, :] < tt[:, None]
+
+    if cull is not None:
+        cl = (cull.mean2d[:, 0], cull.mean2d[:, 1], cull.conic[:, 0],
+              cull.conic[:, 1], cull.conic[:, 2], cull.qmax)
+        keep1 = in_rect1 & cull_keep(cl, tx1, ty1)   # [P, K1]
+        k1i = keep1.astype(jnp.int32)
+        rank1 = jnp.cumsum(k1i, axis=1) - k1i        # exclusive in-splat rank
+        ctt1 = jnp.sum(k1i, axis=1)                  # [P] kept tier-1 pairs
+    else:
+        keep1 = in_rect1
+        rank1 = jnp.broadcast_to(k[None, :], (P, K1))
+        ctt1 = jnp.minimum(tt, K1)
+
+    if B > 0 and K2 > 0:
+        # ---- tier 2: overflow tiles (k in [K1, tt)) of the captured --
+        rw2 = rect_w[big_idx]
+        rm2 = rect_min[big_idx]
+        k2 = K1 + jnp.arange(K2, dtype=jnp.int32)    # [K2]
+        tx2, ty2 = tile_xy(rm2, rw2, k2[None, :])
+        tile_id2 = ty2 * grid_x + tx2                # [B, K2]
+        in_rect2 = captured[:, None] & (k2[None, :] < big_tt[:, None])
+        if cull is not None:
+            cl2 = tuple(v[big_idx] for v in cl)
+            keep2 = in_rect2 & cull_keep(cl2, tx2, ty2)
+            k2i = keep2.astype(jnp.int32)
+            rank2 = ctt1[big_idx][:, None] + jnp.cumsum(k2i, axis=1) - k2i
+            ctt2 = jnp.sum(k2i, axis=1)              # [B]
+        else:
+            keep2 = in_rect2
+            rank2 = jnp.broadcast_to(k2[None, :], (B, K2))
+            ctt2 = jnp.where(captured, big_tt - K1, 0)
+    else:
+        keep2 = None
+
+    # per-splat kept counts -> budget offsets (whole-splat truncation)
+    if cull is not None:
+        kept = ctt1
+        if keep2 is not None:
+            kept = kept.at[big_idx].add(jnp.where(captured, ctt2, 0),
+                                        mode='drop')
+        demand_f = jnp.sum(kept.astype(jnp.float32))
+    else:
+        kept = jnp.where(cap_per_splat, tt, jnp.minimum(tt, K1))
+        demand_f = None
+    off = _budget_offsets(kept)                      # [P] f32
+
+    valid1 = keep1 & (off[:, None] + rank1 < budget)
     key_tile1 = jnp.where(valid1, tile_id1, n_tiles).reshape(-1)
     key_depth1 = jnp.broadcast_to(depth[:, None], (P, K1)).reshape(-1)
     sid1 = jnp.broadcast_to(sid_base[:, None], (P, K1)).reshape(-1)
 
-    if not (B > 0 and K2 > 0):
+    if keep2 is None:
         return (key_tile1.astype(jnp.int32), key_depth1, sid1,
-                k_overflowed, n_big)
+                k_overflowed, n_big, demand_f)
 
-    # ---- tier 2: overflow tiles (k in [K1, tt)) of the captured big --
-    rw2 = rect_w[big_idx]
-    rm2 = rect_min[big_idx]
-    d2 = depth[big_idx]
-    s2 = sid_base[big_idx]
-    off2 = off[big_idx]
-    k2 = K1 + jnp.arange(K2, dtype=jnp.int32)        # [K2]
-    kx2 = k2[None, :] % rw2[:, None]
-    ky2 = k2[None, :] // rw2[:, None]
-    tile_id2 = ((rm2[:, 1:2] + ky2) * grid_x
-                + rm2[:, 0:1] + kx2)                 # [B, K2]
-    valid2 = captured[:, None] & (k2[None, :] < big_tt[:, None]) \
-        & (off2[:, None] + k2[None, :] < budget)
+    valid2 = keep2 & (off[big_idx][:, None] + rank2 < budget)
     key_tile2 = jnp.where(valid2, tile_id2, n_tiles).reshape(-1)
-    key_depth2 = jnp.broadcast_to(d2[:, None], (B, K2)).reshape(-1)
-    sid2 = jnp.broadcast_to(s2[:, None], (B, K2)).reshape(-1)
+    key_depth2 = jnp.broadcast_to(depth[big_idx][:, None], (B, K2)).reshape(-1)
+    sid2 = jnp.broadcast_to(sid_base[big_idx][:, None], (B, K2)).reshape(-1)
 
     return (jnp.concatenate([key_tile1, key_tile2]).astype(jnp.int32),
             jnp.concatenate([key_depth1, key_depth2]),
             jnp.concatenate([sid1, sid2]),
-            k_overflowed, n_big)
+            k_overflowed, n_big, demand_f)
 
 
 def _tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int):
@@ -172,7 +266,8 @@ def _finish(key_tile, key_depth, sid, n_tiles, max_pairs):
 def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      max_tiles_per_splat: int = 32,
                      max_pairs: int | None = None,
-                     big_splats: int = 256) -> TileLists:
+                     big_splats: int = 256,
+                     cull: CullSpec | None = None) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
     ``max_tiles_per_splat`` (K1) sizes the tier-1 enumeration;
@@ -182,7 +277,8 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     ``max_pairs`` caps the KEPT pairs — whole trailing splats (by id)
     are dropped past the budget, ``overflowed`` reports it, and
     ``num_pairs`` is the true demand so adaptive growth can jump
-    straight to it.
+    straight to it. ``cull`` enables the exact per-tile conic cull
+    (CullSpec docstring); demand/overflow are then measured post-cull.
     """
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
@@ -196,13 +292,18 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
     sid_base = jnp.arange(P, dtype=jnp.int32)
 
-    key_tile, key_depth, sid, k_overflowed, num_big = _enumerate_two_tier(
+    (key_tile, key_depth, sid, k_overflowed, num_big,
+     demand_f) = _enumerate_two_tier(
         tt, proc.rect_min, rect_w, depth, sid_base, K1, K2, B,
-        grid_x, n_tiles, budget)
+        grid_x, n_tiles, budget, cull=cull)
     point_list, tile_starts, tile_counts = _finish(
         key_tile, key_depth, sid, n_tiles, max_pairs)
 
-    num_pairs, overflowed = _demand(tt, budget)
+    if demand_f is None:
+        num_pairs, overflowed = _demand(tt, budget)
+    else:
+        overflowed = demand_f > budget
+        num_pairs = jnp.minimum(demand_f, float(2 ** 31 - 1)).astype(jnp.int32)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_counts,
                      num_pairs=num_pairs,
@@ -215,7 +316,8 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
                                    max_tiles_per_splat: int = 32,
                                    max_pairs: int | None = None,
                                    big_splats: int = 256,
-                                   return_ranks: bool = False) -> TileLists:
+                                   return_ranks: bool = False,
+                                   cull: CullSpec | None = None) -> TileLists:
     """Same contract as :func:`build_tile_lists`, enumerated in DEPTH
     order: splats are [P]-sorted by depth first and pairs keyed by
     (tile, depth RANK) — deterministic on depth ties, and the
@@ -247,17 +349,26 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     rect_min = proc.rect_min[perm]
     rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)[perm]
     rank = jnp.arange(P, dtype=jnp.int32)
+    if cull is not None:
+        cull = cull._replace(mean2d=cull.mean2d[perm],
+                             conic=cull.conic[perm],
+                             qmax=cull.qmax[perm])
 
     # depth key = RANK (same order as depth, deterministic on ties)
-    key_tile, key_rank, sid, k_overflowed, num_big = _enumerate_two_tier(
+    (key_tile, key_rank, sid, k_overflowed, num_big,
+     demand_f) = _enumerate_two_tier(
         tt, rect_min, rect_w, rank, rank, K1, K2, B,
-        grid_x, n_tiles, budget)
+        grid_x, n_tiles, budget, cull=cull)
     point_list, tile_starts, tile_counts = _finish(
         key_tile, key_rank, sid, n_tiles, max_pairs)
     if not return_ranks:
         point_list = perm[point_list]
 
-    num_pairs, overflowed = _demand(tt, budget)
+    if demand_f is None:
+        num_pairs, overflowed = _demand(tt, budget)
+    else:
+        overflowed = demand_f > budget
+        num_pairs = jnp.minimum(demand_f, float(2 ** 31 - 1)).astype(jnp.int32)
     return TileLists(point_list=point_list, tile_starts=tile_starts,
                      tile_counts=tile_counts,
                      num_pairs=num_pairs,

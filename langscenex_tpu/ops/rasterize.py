@@ -63,6 +63,11 @@ class RasterConfig:
     # (binning.build_tile_lists_depth_presort): equivalent output up to
     # depth ties, smaller big-sort payload. A/B knob for the forward perf.
     depth_presort: bool = False
+    # Exact per-tile conic culling in binning (binning.CullSpec): drop
+    # (splat, tile) pairs whose conic quadratic exceeds the alpha-support
+    # threshold at EVERY pixel of the tile — bit-identical output, fewer
+    # pairs (kills AABB corners + most of elongated splats' rects).
+    tile_cull: bool = True
     # With depth_presort: index pairs by depth RANK and permute all
     # per-splat blend inputs into depth order, so each tile's payload
     # gather reads ascending (near-sequential) rows instead of random
@@ -232,17 +237,29 @@ def rasterize(
                       scale_modifier=scale_modifier, tile_w=cfg.tile_w,
                       tile_h=cfg.tile_h, mean2d_offset=mean2d_offset,
                       opacity=opacity if cfg.opacity_aware_radius else None)
+    cull = None
+    if cfg.tile_cull:
+        from .binning import CullSpec
+        op_cull = jax.lax.stop_gradient(
+            jnp.where(proc.visible, opacity.reshape(-1), 0.0))
+        # +0.05 q-margin absorbs f32 evaluation differences between the
+        # cull's component math and the kernel's bilinear form
+        qmax = 2.0 * jnp.log(jnp.maximum(255.0 * op_cull, 1e-12)) + 0.05
+        cull = CullSpec(mean2d=jax.lax.stop_gradient(proc.mean2d),
+                        conic=jax.lax.stop_gradient(proc.conic),
+                        qmax=qmax, tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+
     use_ranks = cfg.depth_presort and cfg.payload_depth_rank
     if cfg.depth_presort:
         lists = build_tile_lists_depth_presort(
             proc, grid_x, grid_y, cfg.max_tiles_per_splat,
             max_pairs=cfg.max_pairs, big_splats=cfg.big_splats,
-            return_ranks=use_ranks)
+            return_ranks=use_ranks, cull=cull)
     else:
         lists = build_tile_lists(proc, grid_x, grid_y,
                                  cfg.max_tiles_per_splat,
                                  max_pairs=cfg.max_pairs,
-                                 big_splats=cfg.big_splats)
+                                 big_splats=cfg.big_splats, cull=cull)
 
     parts = [proc.rgb]
     if language_feature is not None:

@@ -434,6 +434,120 @@ class TestBinning:
                                    rtol=1e-6, atol=1e-7)
 
 
+class TestTileCull:
+    """tile_cull drops (splat, tile) pairs that provably fail the blend's
+    alpha >= 1/255 gate at every pixel: output must be (near-)identical,
+    pair demand strictly lower on anisotropic scenes, and every culled
+    pair must be verifiably sub-threshold by brute force."""
+
+    def test_rect_qmin_exact(self):
+        from langscenex_tpu.ops.binning import _rect_qmin
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            # random PSD conic
+            m = rng.normal(size=(2, 2))
+            S = m @ m.T + 0.05 * np.eye(2)
+            a, b, c = S[0, 0], S[0, 1], S[1, 1]
+            lx, ly = rng.uniform(-20, 10, 2)
+            hx, hy = lx + rng.uniform(1, 15), ly + rng.uniform(1, 15)
+            got = float(_rect_qmin(jnp.float32(a), jnp.float32(b),
+                                   jnp.float32(c), jnp.float32(lx),
+                                   jnp.float32(hx), jnp.float32(ly),
+                                   jnp.float32(hy)))
+            # dense-grid oracle (min over rect sampled at 60x60)
+            xs = np.linspace(lx, hx, 60)
+            ys = np.linspace(ly, hy, 60)
+            X, Y = np.meshgrid(xs, ys)
+            Q = a * X * X + 2 * b * X * Y + c * Y * Y
+            # closed form must LOWER-bound the sampled min (up to f32
+            # eval rounding — the cull's own +0.05 q-margin dwarfs this)
+            assert got <= Q.min() * (1 + 1e-5) + 1e-4, (got, Q.min())
+            assert got >= Q.min() - 0.3 * max(1.0, Q.min()), (got, Q.min())
+
+    def _scene(self, P=150, seed=11):
+        cam = make_camera(W=64, H=32)
+        means, scales, quats, opacity, colors = random_scene(P=P, seed=seed)
+        # make splats strongly anisotropic so AABBs far overcover support
+        rng = np.random.default_rng(seed)
+        scales[:, 0] *= rng.uniform(4.0, 10.0, P)
+        return cam, means, scales, quats, opacity, colors
+
+    def test_output_identical_fewer_pairs(self):
+        import dataclasses
+        cam, means, scales, quats, opacity, colors = self._scene()
+        cfg0 = RasterConfig(tile_w=16, tile_h=8, max_tiles_per_splat=64,
+                            chunk=32, max_splats_per_tile=256,
+                            tile_cull=False, use_pallas=False)
+        cfg1 = dataclasses.replace(cfg0, tile_cull=True)
+
+        def render(cfg):
+            return rasterize(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), jnp.asarray(opacity), cam,
+                             jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                             cfg=cfg)
+        a, b = render(cfg0), render(cfg1)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a.final_T),
+                                   np.asarray(b.final_T), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(a.out_observe),
+                                      np.asarray(b.out_observe))
+        assert int(b.num_pairs) < int(a.num_pairs), \
+            (int(b.num_pairs), int(a.num_pairs))
+        # gradients agree too (binning is bookkeeping; blend sees a
+        # subset whose dropped members contribute exactly zero)
+        def loss(cfg):
+            def f(o):
+                out = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                                jnp.asarray(quats), o, cam, jnp.zeros(3),
+                                colors_precomp=jnp.asarray(colors), cfg=cfg)
+                return jnp.sum(out.color ** 2)
+            return np.asarray(jax.grad(f)(jnp.asarray(opacity)))
+        np.testing.assert_allclose(loss(cfg1), loss(cfg0),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_culled_pairs_are_subthreshold(self):
+        """Brute force: every pair the cull REMOVED has alpha < 1/255 at
+        every pixel of its tile (so removal is exact, not approximate)."""
+        from langscenex_tpu.ops.binning import (CullSpec, build_tile_lists)
+        cam, means, scales, quats, opacity, colors = self._scene(P=80, seed=3)
+        tw, th = 16, 8
+        proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=tw, tile_h=th)
+        gx, gy = 4, 4
+        op = np.where(np.asarray(proc.visible), opacity, 0.0)
+        qmax = 2.0 * np.log(np.maximum(255.0 * op, 1e-12)) + 0.05
+        cull = CullSpec(mean2d=proc.mean2d, conic=proc.conic,
+                        qmax=jnp.asarray(qmax), tile_w=tw, tile_h=th)
+        l0 = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64)
+        l1 = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64,
+                              cull=cull)
+
+        def pair_set(l):
+            s, c, pl = (np.asarray(l.tile_starts), np.asarray(l.tile_counts),
+                        np.asarray(l.point_list))
+            return {(t, int(i)) for t in range(gx * gy)
+                    for i in pl[s[t]:s[t] + c[t]]}
+        removed = pair_set(l0) - pair_set(l1)
+        assert pair_set(l1) <= pair_set(l0)
+        assert len(removed) > 0
+        assert int(l1.num_pairs) == len(pair_set(l1))
+        mean2d = np.asarray(proc.mean2d)
+        conic = np.asarray(proc.conic)
+        for t, i in removed:
+            tx, ty = t % gx, t // gx
+            X, Y = np.meshgrid(np.arange(tx * tw, tx * tw + tw),
+                               np.arange(ty * th, ty * th + th))
+            dx = X - mean2d[i, 0]
+            dy = Y - mean2d[i, 1]
+            a_, b_, c_ = conic[i]
+            power = -0.5 * (a_ * dx * dx + c_ * dy * dy) - b_ * dx * dy
+            alpha = op[i] * np.exp(power)
+            assert alpha.max() < 1.0 / 255.0, (t, i, alpha.max())
+
+
 class TestOpacityAwareBinning:
     """opacity_aware_radius bins with the alpha-support radius
     (covariance.conic_and_radius): output must match 3-sigma binning to
