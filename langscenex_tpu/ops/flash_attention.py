@@ -29,7 +29,7 @@ _LOG2E = math.log2(math.e)
 _PAD_BIAS = -1e9
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, l_ref, acc_ref):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, acc_ref):
     kb = pl.program_id(2)
     is_first = kb == 0
     is_last = kb == pl.num_programs(2) - 1
@@ -37,12 +37,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, l_ref, acc_ref):
     @pl.when(is_first)
     def _():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]                        # [Bq, D+1] (pre-scaled; col D = 1)
     k = k_ref[0]                        # [Bk, D+1] (col D = pad bias)
-    v = v_ref[0]                        # [Bk, D]
+    v = v_ref[0]                        # [Bk, D+1] (col D = 1: see below)
     # padded kv positions carry a -1e9 bias COLUMN instead of a mask:
     # the D=64 contraction pads to the MXU's 128 depth anyway, so the
     # extra column is free, and it deletes the per-element iota+select
@@ -58,16 +57,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, l_ref, acc_ref):
     # exp2 replaces exp (cheaper on the VPU)
     p = jnp.exp2(s - m_new)             # [Bq, Bk]
     alpha = jnp.exp2(m_prev - m_new)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    # the softmax normalizer rides as acc column D: v carries a ones
+    # column, so sum(p) comes out of the PV matmul (free on the MXU —
+    # D+1 <= 128 output lanes either way) instead of a [Bq,Bk]-wide VPU
+    # reduce, and the l-recurrence (l*alpha + sum(p)) IS the acc
+    # recurrence on that column
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)              # [Bq, D+1]
     m_ref[...] = m_new
 
     @pl.when(is_last)
     def _():
-        l = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        D = o_ref.shape[-1]
+        l = jnp.maximum(acc_ref[:, D:D + 1], 1e-30)
+        o_ref[0] = (acc_ref[:, :D] / l).astype(o_ref.dtype)
         # log2-domain logsumexp per row — the backward residual.
         # l2 rides as [BH, Tp, 1] so its (1, bq, 1) block satisfies
         # Mosaic's (8,128)-divisible-or-full rule (a [BH, Tp] layout
@@ -75,7 +79,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l2_ref, m_ref, l_ref, acc_ref):
         l2_ref[0] = m_ref[...] + jnp.log2(l)
 
 
-def _attn_kernel_nomax(q_ref, k_ref, v_ref, o_ref, l2_ref, l_ref, acc_ref):
+def _attn_kernel_nomax(q_ref, k_ref, v_ref, o_ref, l2_ref, acc_ref):
     """Softmax WITHOUT the running max: p = exp2(s) directly.
 
     Safe whenever the natural logits are bounded by ~80 (exp2 operand
@@ -84,30 +88,31 @@ def _attn_kernel_nomax(q_ref, k_ref, v_ref, o_ref, l2_ref, l_ref, acc_ref):
     shifted and unshifted softmax are identical up to normalization.
     Deletes the bk-wide max-reduce, the subtract, and the alpha
     rescales from the VPU chain — the measured MFU binder at D=64
-    (docs/KERNELS.md §6)."""
+    (docs/KERNELS.md §6). The normalizer rides as acc column D via v's
+    ones column (see _attn_kernel), so the only [Bq,Bk]-wide VPU op
+    left is the exp2 itself."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _():
-        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]                        # [Bq, D+1] (pre-scaled; col D = 1)
     k = k_ref[0]                        # [Bk, D+1] (col D = pad bias)
-    v = v_ref[0]                        # [Bk, D]
+    v = v_ref[0]                        # [Bk, D+1] (col D = 1)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [Bq, Bk]
     p = jnp.exp2(s)
-    l_ref[...] = l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)              # [Bq, D+1]
 
     @pl.when(kb == pl.num_programs(2) - 1)
     def _():
-        l = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        D = o_ref.shape[-1]
+        l = jnp.maximum(acc_ref[:, D:D + 1], 1e-30)
+        o_ref[0] = (acc_ref[:, :D] / l).astype(o_ref.dtype)
         l2_ref[0] = jnp.log2(l)        # logsumexp2 (m == 0 here)
 
 
@@ -163,9 +168,13 @@ def _fwd_prep(q, k, v, scale, block_q, block_k):
 def _flash_fwd_impl(q, k, v, scale, block_q, block_k, bounded_logits):
     qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp) = _fwd_prep(
         q, k, v, scale, block_q, block_k)
+    # ones column on v: the softmax normalizer becomes acc column D of
+    # the PV matmul (kernel docstrings). Padded kv rows keep it too —
+    # their p is already ~0 through the k bias column.
+    vp = jnp.concatenate(
+        [vp, jnp.ones((B * H, Tkp, 1), vp.dtype)], axis=-1)
     grid = (B * H, Tp // bq, Tkp // bk)
-    scratch = [pltpu.VMEM((bq, 1), jnp.float32),
-               pltpu.VMEM((bq, D), jnp.float32)]
+    scratch = [pltpu.VMEM((bq, D + 1), jnp.float32)]
     if not bounded_logits:
         scratch.insert(0, pltpu.VMEM((bq, 1), jnp.float32))  # running max
     out, l2 = pl.pallas_call(
@@ -176,7 +185,7 @@ def _flash_fwd_impl(q, k, v, scale, block_q, block_k, bounded_logits):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -514,6 +514,9 @@ class GaussianFieldTrainer:
         self.rcfg = rcfg
         # HBM budget for adaptive pair-buffer growth (_grow_pair_caps)
         self.max_pairs_ceiling = 32 * 1024 * 1024
+        # adaptive-shrink bookkeeping (_maybe_shrink_pair_cap)
+        self._demand_hwm = 0.0
+        self._last_cap_resize = 0
         self.scene_extent = scene_extent
         self.sh_degree_max = sh_degree_max
         self.lang_dir = lang_dir
@@ -680,6 +683,34 @@ class GaussianFieldTrainer:
             log_.warning(
                 "pair list overflowed at the hard ceiling (max_pairs=%s) "
                 "— renders truncated", mp)
+
+    def _maybe_shrink_pair_cap(self, it: int) -> None:
+        """Shrink max_pairs toward the observed demand high-water mark:
+        the static pair-staging domain (sort + payload gather + blend
+        chunk map) scales with max_pairs, and the exact tile cull
+        (ops/binning.CullSpec) leaves the 8x-capacity initial cap
+        several-fold oversized — measured 34.1 -> 21.5 ms forward at
+        100k splats once the cap matches culled demand
+        (experiments/ab_cull.py). Factor-2 hysteresis + a 500-iter
+        cooldown bound recompiles; the high-water mark spans all views
+        seen since the last resize so one narrow view cannot shrink the
+        cap below a wide view's need."""
+        import logging
+        mp = self.rcfg.max_pairs
+        hwm = self._demand_hwm
+        if hwm <= 0 or it - self._last_cap_resize < 500:
+            return
+        target = max(int(1.5 * hwm), 1 << 16)
+        target = ((target + 127) // 128) * 128
+        if target * 2 > mp:
+            return
+        self.rcfg = dataclasses.replace(self.rcfg, max_pairs=target)
+        self._steps.clear()
+        self._last_cap_resize = it
+        self._demand_hwm = 0.0
+        logging.getLogger(__name__).info(
+            "pair demand HWM %d far below cap %d — shrinking max_pairs "
+            "to %d (recompile)", int(hwm), mp, target)
 
     # ---------------- pose export ----------------
 
@@ -886,9 +917,16 @@ class GaussianFieldTrainer:
             # sparse afterwards. Each check costs one device fetch.
             check_every = 10 if it <= cfg.densify_until_iter else 100
             if metrics.get('pair_overflow') is not None \
-                    and it % check_every == 0 \
-                    and float(metrics['pair_overflow']) > 0:
-                self._grow_pair_caps(metrics)
+                    and it % check_every == 0:
+                if float(metrics['pair_overflow']) > 0:
+                    self._grow_pair_caps(metrics)
+                    self._demand_hwm = 0.0
+                    self._last_cap_resize = it
+                elif self.rcfg.max_pairs is not None:
+                    self._demand_hwm = max(
+                        self._demand_hwm,
+                        float(metrics.get('num_pairs', 0.0)))
+                    self._maybe_shrink_pair_cap(it)
             if log_every and it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 # EMA postfix (decay 0.4/0.6, gaussian_field.py:490-511)
