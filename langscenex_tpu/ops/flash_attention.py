@@ -491,6 +491,113 @@ def flash_attention_h2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, Tp, D)[:, :, :T]
 
 
+def _attn_kernel_nomax_t(k_ref, qT_ref, vT_ref, oT_ref, l2_ref, acc_ref):
+    """Transposed no-max kernel: everything lives in [feature, token]
+    layout so the PV contraction streams D+1 rows through the MXU
+    instead of padding its OUTPUT to 128 lanes.
+
+    MXU padding at D=64 (the DiT head dim) wastes half the array twice
+    in the standard layout: the QK^T contraction pads K=64->128 and the
+    PV matmul pads its output width N=65->128. The contraction padding
+    is intrinsic (s[i,j] needs only 64 products but the systolic depth
+    is 128), but the PV waste is NOT: computing acc^T = v^T @ p^T makes
+    the head dim the STREAMED M dimension (M=72 costs 72 row-passes,
+    not 128 lanes) and the token dim the full-width N=Bq output. Same
+    trick is impossible for QK^T (transposing keeps D as the
+    contraction). Softmax normalizer rides as v^T row D (ones on valid
+    kv tokens, zero on padding — which also replaces the pad-bias
+    column: padded rows hit exp2(0)=1 times an all-zero v^T column).
+    """
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0]                        # [Bk, D]
+    qT = qT_ref[0]                      # [D, Bq]  (scale*log2e folded in)
+    vT = vT_ref[0]                      # [Dp8, Bk] (row D = valid mask)
+    sT = jax.lax.dot_general(
+        k, qT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, Bq]
+    pT = jnp.exp2(sT)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Dp8, Bq]
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        D = oT_ref.shape[1]
+        l = jnp.maximum(acc_ref[D:D + 1, :], 1e-30)      # [1, Bq]
+        oT_ref[0] = (acc_ref[:D, :] / l).astype(oT_ref.dtype)
+        l2_ref[0] = jnp.log2(l)
+
+
+def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       scale: float | None = None,
+                       block_q: int = 1024, block_k: int = 1024
+                       ) -> jnp.ndarray:
+    """Transposed-accumulator no-max flash attention (forward only —
+    see _attn_kernel_nomax_t). Exact for bounded logits (qk-LayerNorm
+    models), same contract as flash_attention(bounded_logits=True)."""
+    out, _ = _flash_fwd_impl_t(q, k, v,
+                               scale if scale is not None
+                               else 1.0 / math.sqrt(q.shape[-1]),
+                               block_q, block_k)
+    return out
+
+
+def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k):
+    B, H, T, D = q.shape
+    Tk = k.shape[2]
+    bq = min(block_q, T)
+    bk = min(block_k, Tk)
+    Tp = ((T + bq - 1) // bq) * bq
+    Tkp = ((Tk + bk - 1) // bk) * bk
+    Dp8 = ((D + 1 + 7) // 8) * 8       # acc rows: D values + 1 normalizer,
+    #                                    padded to the 8-sublane grain
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
+    qT = jnp.pad(q.transpose(0, 1, 3, 2),              # [B,H,D,T]
+                 ((0, 0), (0, 0), (0, 0), (0, Tp - T))
+                 ).reshape(B * H, D, Tp)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0))
+                 ).reshape(B * H, Tkp, D)
+    vT = v.transpose(0, 1, 3, 2)                       # [B,H,D,Tk]
+    mask = (jnp.arange(Tkp) < Tk).astype(v.dtype)[None, None, None]
+    vT = jnp.concatenate([
+        jnp.pad(vT, ((0, 0), (0, 0), (0, 0), (0, Tkp - Tk))),
+        jnp.broadcast_to(mask, (B, H, 1, Tkp)),
+        jnp.zeros((B, H, Dp8 - D - 1, Tkp), v.dtype)], axis=2
+    ).reshape(B * H, Dp8, Tkp)
+
+    grid = (B * H, Tp // bq, Tkp // bk)
+    oT, l2 = pl.pallas_call(
+        _attn_kernel_nomax_t,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp8, bk), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, D, Tp), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Tp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Dp8, bq), jnp.float32)],
+    )(kp, qT, vT)
+    out = oT.reshape(B, H, D, Tp)[:, :, :, :T].transpose(0, 1, 3, 2)
+    return out, l2.reshape(B, H, Tp)[:, :, :T]
+
+
 _SEQ_PARALLEL = None
 
 

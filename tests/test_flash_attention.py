@@ -27,6 +27,21 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("T,Tk", [(256, 256), (300, 300), (130, 200)])
+    def test_nt_matches_reference(self, T, Tk):
+        """Transposed-accumulator no-max kernel (flash_attention_nt),
+        incl. non-block-multiple T/Tk (v^T ones-row masking of kv pad)."""
+        from langscenex_tpu.ops.flash_attention import flash_attention_nt
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(1, 2, T, 64)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, Tk, 64)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, Tk, 64)).astype(np.float32))
+        ref = reference_attention(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_nt(q, k, v, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
     def test_extreme_logits_stable(self):
         """Online softmax must survive large score magnitudes."""
         rng = np.random.default_rng(1)
