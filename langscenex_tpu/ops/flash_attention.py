@@ -166,6 +166,8 @@ def _fwd_prep(q, k, v, scale, block_q, block_k):
 
 
 def _flash_fwd_impl(q, k, v, scale, block_q, block_k, bounded_logits):
+    if bounded_logits and NT_BOUNDED_FORWARD:
+        return _flash_fwd_impl_t(q, k, v, scale, block_q, block_k)
     qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp) = _fwd_prep(
         q, k, v, scale, block_q, block_k)
     # ones column on v: the softmax normalizer becomes acc column D of
@@ -547,6 +549,12 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+# bounded_logits forwards route through the transposed-accumulator
+# kernel (True) or the lane-padded PV kernel (False). l2 residuals are
+# contract-identical, so the Pallas backward serves both.
+NT_BOUNDED_FORWARD = False
+
+
 def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k):
     B, H, T, D = q.shape
     Tk = k.shape[2]
@@ -595,7 +603,9 @@ def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k):
         scratch_shapes=[pltpu.VMEM((Dp8, bq), jnp.float32)],
     )(kp, qT, vT)
     out = oT.reshape(B, H, D, Tp)[:, :, :, :T].transpose(0, 1, 3, 2)
-    return out, l2.reshape(B, H, Tp)[:, :, :T]
+    # l2 contract matches _flash_fwd_impl ([B*H, Tp] logsumexp2): the
+    # shared Pallas backward consumes either forward's residuals.
+    return out, l2.reshape(B * H, Tp)
 
 
 _SEQ_PARALLEL = None

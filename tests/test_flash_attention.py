@@ -42,6 +42,34 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_nt_bounded_forward_grads_match(self):
+        """With NT_BOUNDED_FORWARD on, the bounded_logits custom_vjp
+        routes its forward through the transposed kernel; the shared
+        Pallas backward must produce identical gradients."""
+        import langscenex_tpu.ops.flash_attention as fa
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.normal(size=(1, 2, 300, 64)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, 300, 64)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, 300, 64)).astype(np.float32))
+
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(
+                q, k, v, block_q=128, block_k=128,
+                bounded_logits=True) ** 2)
+
+        grad = jax.grad(loss, argnums=(0, 1, 2))
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                g_std = grad(q, k, v)
+            fa.NT_BOUNDED_FORWARD = True
+            with pltpu.force_tpu_interpret_mode():
+                g_nt = grad(q, k, v)
+        finally:
+            fa.NT_BOUNDED_FORWARD = False
+        for a, b in zip(g_std, g_nt):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
     def test_extreme_logits_stable(self):
         """Online softmax must survive large score magnitudes."""
         rng = np.random.default_rng(1)
