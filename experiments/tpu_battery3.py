@@ -1,17 +1,23 @@
 """Round-2e device battery, ONE process (client churn risks the relay).
 
 Order: attention nt A/B -> render A/Bs (depth-rank coherence, cap
-tightness, tile shape) -> bench-config fps -> rasterizer fwd+bwd.
+tightness, tile shape) -> rasterizer fwd+bwd. SKIP_ATTN=1 skips the
+attention section (already measured).
 
 Run:  timeout 3000 python experiments/tpu_battery3.py | tee /tmp/battery3.log
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 T0 = time.time()
+SKIP_ATTN = bool(os.environ.get("SKIP_ATTN"))
 
 
 def log(*a):
@@ -40,69 +46,65 @@ def chain(fn, n, *args):
 
 log("devices:", jax.devices())
 
-# ---------------- 1. attention: nt vs nomax ---------------------------
 import langscenex_tpu.ops.flash_attention as fa
 
-B, H, T, D = 1, 48, 17776, 64
-PEAK = 197e12
-FLOPS_FWD = 4.0 * B * H * T * T * D
-rng = np.random.default_rng(0)
-q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
-k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
-v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
 
-cases = [
-    ("nomax (r2 best)", lambda q, k, v: fa.flash_attention(
-        q, k, v, bounded_logits=True)),
-    ("nt 1024x1024", lambda q, k, v: fa.flash_attention_nt(
-        q, k, v, block_q=1024, block_k=1024)),
-    ("nt 2048x1024", lambda q, k, v: fa.flash_attention_nt(
-        q, k, v, block_q=2048, block_k=1024)),
-    ("nt 1024x2048", lambda q, k, v: fa.flash_attention_nt(
-        q, k, v, block_q=1024, block_k=2048)),
-    ("nt 2048x2048", lambda q, k, v: fa.flash_attention_nt(
-        q, k, v, block_q=2048, block_k=2048)),
-    ("nt 4096x1024", lambda q, k, v: fa.flash_attention_nt(
-        q, k, v, block_q=4096, block_k=1024)),
-]
-for name, fn in cases:
+def attention_section():
+    B, H, T, D = 1, 48, 17776, 64
+    PEAK = 197e12
+    FLOPS_FWD = 4.0 * B * H * T * T * D
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+
+    cases = [
+        ("nomax (r2 best)", lambda q, k, v: fa.flash_attention(
+            q, k, v, bounded_logits=True)),
+        ("nt 1024x1024", lambda q, k, v: fa.flash_attention_nt(
+            q, k, v, block_q=1024, block_k=1024)),
+        ("nt 2048x1024", lambda q, k, v: fa.flash_attention_nt(
+            q, k, v, block_q=2048, block_k=1024)),
+        ("nt 1024x2048", lambda q, k, v: fa.flash_attention_nt(
+            q, k, v, block_q=1024, block_k=2048)),
+    ]
+    for name, fn in cases:
+        try:
+            dt = chain(fn, 8, q, k, v)
+            log(f"attn fwd {name:14s} {dt*1e3:7.2f} ms  "
+                f"MFU {FLOPS_FWD/dt/PEAK*100:5.1f}%")
+        except Exception as e:
+            log(f"attn fwd {name:14s} FAILED {type(e).__name__}: "
+                f"{str(e)[:160]}")
+
+    a = fa.flash_attention(q, k, v, bounded_logits=True)
+    b = fa.flash_attention_nt(q, k, v)
+    log(f"nt vs nomax max abs diff: "
+        f"{float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))):.2e}")
+    del a, b
+
+    FLOPS_BWD = 2.5 * FLOPS_FWD
+
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention(
+            q, k, v, bounded_logits=True).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))
     try:
-        dt = chain(fn, 8, q, k, v)
-        log(f"attn fwd {name:14s} {dt*1e3:7.2f} ms  "
-            f"MFU {FLOPS_FWD/dt/PEAK*100:5.1f}%")
+        dt = chain(lambda q, k, v: g(q, k, v), 4, q, k, v)
+        log(f"attn fwd+bwd (nt fwd) {dt*1e3:7.2f} ms  "
+            f"MFU {(FLOPS_FWD+FLOPS_BWD)/dt/PEAK*100:5.1f}%")
     except Exception as e:
-        log(f"attn fwd {name:14s} FAILED {type(e).__name__}: "
+        log(f"attn fwd+bwd (nt fwd) FAILED {type(e).__name__}: "
             f"{str(e)[:160]}")
 
-a = fa.flash_attention(q, k, v, bounded_logits=True)
-b = fa.flash_attention_nt(q, k, v)
-log(f"nt vs nomax max abs diff: "
-    f"{float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))):.2e}")
-del a, b
 
-# fwd+bwd through the shared Pallas backward, nt forward on
-fa.NT_BOUNDED_FORWARD = True
-FLOPS_BWD = 2.5 * FLOPS_FWD
-
-
-def loss(q, k, v):
-    return jnp.sum(fa.flash_attention(
-        q, k, v, bounded_logits=True).astype(jnp.float32) ** 2)
-
-
-g = jax.grad(loss, argnums=(0, 1, 2))
-try:
-    dt = chain(lambda q, k, v: g(q, k, v), 4, q, k, v)
-    log(f"attn fwd+bwd (nt fwd) {dt*1e3:7.2f} ms  "
-        f"MFU {(FLOPS_FWD+FLOPS_BWD)/dt/PEAK*100:5.1f}%")
-except Exception as e:
-    log(f"attn fwd+bwd (nt fwd) FAILED {type(e).__name__}: {str(e)[:160]}")
-fa.NT_BOUNDED_FORWARD = False
-del q, k, v
+if not SKIP_ATTN:
+    attention_section()
+else:
+    log("attention section skipped (SKIP_ATTN)")
 
 # ---------------- 2. render A/Bs --------------------------------------
-import dataclasses
-
 from __graft_entry__ import _camera, _scene
 from langscenex_tpu.ops.rasterize import rasterize, RasterConfig
 
@@ -133,7 +135,7 @@ def render_case(name, cfg, n=20, grad=False):
         fn = fwd
     try:
         dt = chain(fn, n, *args)
-        log(f"render {name:34s} {dt*1e3:7.2f} ms ({1e3/dt/1:6.1f}"
+        log(f"render {name:34s} {dt*1e3:7.2f} ms ({1e3/dt:6.1f}"
             f"{' fps' if not grad else ' it/s fwd+bwd'})")
         return dt
     except Exception as e:

@@ -551,8 +551,12 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 # bounded_logits forwards route through the transposed-accumulator
 # kernel (True) or the lane-padded PV kernel (False). l2 residuals are
-# contract-identical, so the Pallas backward serves both.
-NT_BOUNDED_FORWARD = False
+# contract-identical, so the Pallas backward serves both. Measured at
+# the DiT shape (48x17776x64, v5e): 54.6 ms/36.1% MFU -> 41.1 ms/48.0%
+# MFU, outputs bit-identical on device (experiments/tpu_battery3.py).
+NT_BOUNDED_FORWARD = True
+NT_BLOCK_Q = 2048   # nt q-blocks are cheap (no [Bq,Bk] scratch beyond
+#                     sT/pT); 2048x1024 measured 3% over 1024x1024
 
 
 def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k):
@@ -642,8 +646,12 @@ def attention_auto(q, k, v, scale=None, dtype=jnp.bfloat16,
             q.astype(dtype), k.astype(dtype), v.astype(dtype), mesh,
             axis, scale).astype(out_dtype)
     if jax.default_backend() == "tpu" and T >= flash_threshold:
+        # the transposed nt forward affords larger q blocks (no lane-
+        # padded acc); the standard kernel exceeds VMEM at 2048
+        bq = NT_BLOCK_Q if (bounded_logits and NT_BOUNDED_FORWARD) \
+            else 1024
         return flash_attention(q.astype(dtype), k.astype(dtype),
-                               v.astype(dtype), scale,
+                               v.astype(dtype), scale, block_q=bq,
                                bounded_logits=bounded_logits
                                ).astype(out_dtype)
     scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
