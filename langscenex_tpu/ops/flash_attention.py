@@ -535,17 +535,52 @@ def _attn_kernel_nomax_t(k_ref, qT_ref, vT_ref, oT_ref, l2_ref, acc_ref):
         l2_ref[0] = jnp.log2(l)
 
 
+def _attn_kernel_nomax_t2(k_ref, qT_ref, vT_ref, oT_ref, l2_ref, acc_ref):
+    """_attn_kernel_nomax_t with the kv block split in two halves in the
+    body: half B's sT matmul (MXU) is data-independent of half A's exp2
+    (VPU) and PV accumulate, giving the scheduler explicit ILP to
+    overlap the vector and matrix units across halves."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qT = qT_ref[0]                      # [D, Bq]
+    n_sub = max(1, k_ref.shape[1] // 1024)
+    half = k_ref.shape[1] // n_sub
+    acc = acc_ref[...]
+    for h in range(n_sub):
+        k = k_ref[0, h * half:(h + 1) * half]          # [Bk/2, D]
+        vT = vT_ref[0, :, h * half:(h + 1) * half]     # [Dp8, Bk/2]
+        sT = jax.lax.dot_general(
+            k, qT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [Bk/2, Bq]
+        pT = jnp.exp2(sT)
+        acc = acc + jax.lax.dot_general(
+            vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [Dp8, Bq]
+    acc_ref[...] = acc
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        D = oT_ref.shape[1]
+        l = jnp.maximum(acc_ref[D:D + 1, :], 1e-30)
+        oT_ref[0] = (acc_ref[:D, :] / l).astype(oT_ref.dtype)
+        l2_ref[0] = jnp.log2(l)
+
+
 def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float | None = None,
-                       block_q: int = 1024, block_k: int = 1024
-                       ) -> jnp.ndarray:
+                       block_q: int = 1024, block_k: int = 1024,
+                       split_kv: bool = False) -> jnp.ndarray:
     """Transposed-accumulator no-max flash attention (forward only —
     see _attn_kernel_nomax_t). Exact for bounded logits (qk-LayerNorm
     models), same contract as flash_attention(bounded_logits=True)."""
     out, _ = _flash_fwd_impl_t(q, k, v,
                                scale if scale is not None
                                else 1.0 / math.sqrt(q.shape[-1]),
-                               block_q, block_k)
+                               block_q, block_k, split_kv)
     return out
 
 
@@ -559,7 +594,7 @@ NT_BLOCK_Q = 2048   # nt q-blocks are cheap (no [Bq,Bk] scratch beyond
 #                     sT/pT); 2048x1024 measured 3% over 1024x1024
 
 
-def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k):
+def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k, split_kv=False):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     bq = min(block_q, T)
@@ -583,8 +618,9 @@ def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k):
     ).reshape(B * H, Dp8, Tkp)
 
     grid = (B * H, Tp // bq, Tkp // bk)
+    use_t2 = split_kv and bk % 2 == 0
     oT, l2 = pl.pallas_call(
-        _attn_kernel_nomax_t,
+        _attn_kernel_nomax_t2 if use_t2 else _attn_kernel_nomax_t,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
