@@ -278,6 +278,85 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l2_ref, dvec_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_t(kx_ref, qTx_ref, v_ref, doT_ref, l2T_ref, dvecT_ref,
+                     kT_ref, dqT_ref, acc_ref, *, scale):
+    """Transposed dq: everything in [feature, token] layout so the
+    dq-producing matmul streams D rows (kT @ dsT) instead of padding a
+    65-wide output to 128 lanes (see _attn_kernel_nomax_t).
+
+      sT  [Bk,Bq] = k_ext · qT_ext   (pad-bias column keeps padded p~0)
+      pT  [Bk,Bq] = exp2(sT - l2T)
+      dpT [Bk,Bq] = v · doT
+      dsT         = pT (dpT - dvecT)
+      acc [D,Bq] += kT · dsT          (K=Bk full, N=Bq full, M=D streams)
+    """
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kx = kx_ref[0]                      # [Bk, D+1] (col D = pad bias)
+    qTx = qTx_ref[0]                    # [D+1, Bq] (row D = 1; scaled)
+    v = v_ref[0]                        # [Bk, D]
+    doT = doT_ref[0]                    # [D, Bq]
+    sT = jax.lax.dot_general(
+        kx, qTx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, Bq]
+    pT = jnp.exp2(sT - l2T_ref[0])
+    dpT = jax.lax.dot_general(
+        v, doT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, Bq]
+    dsT = (pT * (dpT - dvecT_ref[0])).astype(kT_ref.dtype)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        kT_ref[0], dsT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [D, Bq]
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        dqT_ref[0] = (acc_ref[...] * scale).astype(dqT_ref.dtype)
+
+
+def _bwd_dkv_kernel_t(qx_ref, kx_ref, v_ref, do_ref, doT_ref, qTx_ref,
+                      l2_ref, dvec_ref, dkT_ref, dvT_ref,
+                      dk_acc, dv_acc):
+    """Transposed dkv: dv^T = doT·p and dk^T = q̃T·ds stream D rows
+    through the MXU (full-width N=Bk outputs) instead of padding the
+    64/65-wide dv/dk outputs to 128 lanes. Grid (BH, k-blocks, q-blocks)
+    with q innermost; accumulators live per k block."""
+    qb_i = pl.program_id(2)
+
+    @pl.when(qb_i == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    qx = qx_ref[0]                      # [Bq, D+1] (scaled; col D = 1)
+    kx = kx_ref[0]                      # [Bk, D+1] (col D = pad bias)
+    v = v_ref[0]                        # [Bk, D]
+    do = do_ref[0]                      # [Bq, D]
+    doT = doT_ref[0]                    # [D, Bq]
+    s = jax.lax.dot_general(
+        qx, kx, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    p = jnp.exp2(s - l2_ref[0])
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        doT, p.astype(do.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [D, Bk]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bq, Bk]
+    ds = (p * (dp - dvec_ref[0])).astype(qx.dtype)
+    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+        qTx_ref[0, :dkT_ref.shape[1]], ds, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [D, Bk]
+
+    @pl.when(qb_i == pl.num_programs(2) - 1)
+    def _():
+        dkT_ref[0] = (dk_acc[...] * (1.0 / _LOG2E)).astype(dkT_ref.dtype)
+        dvT_ref[0] = dv_acc[...].astype(dvT_ref.dtype)
+
+
 _BWD_BLOCK = 512     # backward holds s, p, dp, ds live: half the fwd block
 
 
@@ -311,6 +390,42 @@ def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
 
     bh = B * H
     nq, nk = Tp // bq, Tkp // bk
+
+    if bounded_logits and NT_BOUNDED_FORWARD:
+        # transposed dq (see _bwd_dq_kernel_t): feature-major operands
+        qTx = qp.transpose(0, 2, 1)                  # [BH, D+1, Tp]
+        doT = dop.transpose(0, 2, 1)                 # [BH, D, Tp]
+        kT = kp[:, :, :D].transpose(0, 2, 1)         # [BH, D, Tkp]
+        l2T = l2p.transpose(0, 2, 1)                 # [BH, 1, Tp]
+        dvecT = dvec.transpose(0, 2, 1)
+        dqT = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel_t, scale=scale),
+            grid=(bh, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D + 1, bq), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, D, Tp), q.dtype),
+            scratch_shapes=[pltpu.VMEM((D, bq), jnp.float32)],
+        )(kp, qTx, vp, doT, l2T, dvecT, kT)
+        dq_arr = dqT.transpose(0, 2, 1)              # [BH, Tp, D]
+    else:
+        dq_arr = None
+
     common_specs = dict(
         q=pl.BlockSpec((1, bq, D + 1), lambda b, i, j: (b, i, 0),
                        memory_space=pltpu.VMEM),
@@ -318,7 +433,7 @@ def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
                         memory_space=pltpu.VMEM),
         row=pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM))
-    dq = pl.pallas_call(
+    dq = dq_arr if dq_arr is not None else pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale),
         grid=(bh, nq, nk),
         in_specs=[
@@ -334,6 +449,46 @@ def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
         out_shape=jax.ShapeDtypeStruct((bh, Tp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D + 1), jnp.float32)],
     )(qp, kp, vp, dop, l2p, dvec)
+
+    if bounded_logits and NT_BOUNDED_FORWARD:
+        dkT, dvT = pl.pallas_call(
+            _bwd_dkv_kernel_t,
+            grid=(bh, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, D + 1), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D + 1, bq), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((bh, D, Tkp), k.dtype),
+                       jax.ShapeDtypeStruct((bh, D, Tkp), v.dtype)],
+            scratch_shapes=[pltpu.VMEM((D, bk), jnp.float32),
+                            pltpu.VMEM((D, bk), jnp.float32)],
+        )(qp, kp, vp, dop, doT, qTx, l2p, dvec)
+        dk = dkT.transpose(0, 2, 1)
+        dv = dvT.transpose(0, 2, 1)
+        dq = dq.reshape(B, H, Tp, D)[:, :, :T]
+        dk = dk.reshape(B, H, Tkp, D)[:, :, :Tk]
+        dv = dv.reshape(B, H, Tkp, D)[:, :, :Tk]
+        return dq, dk, dv
 
     dk, dv = pl.pallas_call(
         _bwd_dkv_kernel,

@@ -172,26 +172,56 @@ def _local_u(raw, tile_cx, tile_cy):
     return u, xsl, ysl, a, b, c
 
 
+POWER_VPU = True       # falloff Q(d) evaluated directly on the VPU
+#                        (exact f32 broadcasts) instead of the rank-6
+#                        u.v MXU bilinear form: at K=6 the contraction
+#                        pads to 128 AND runs 6 HIGHEST passes — ~11
+#                        broadcast VPU passes are cheaper and exacter
+PREFIX_MXU = False     # transmittance prefix via HIGHEST triangular
+#                        matmul instead of the 7-step roll+add chain
+#                        (measured slower: see KERNELS.md 11b)
+
+
 def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
     """Shared forward recurrence for one chunk of S_CHUNK splats."""
     u, xsl, ysl, a, b, c = _local_u(raw, tile_cx, tile_cy)
-    # HIGHEST: TPU matmuls default to bf16 passes; px^2 ~ 4e3 truncated
-    # to bf16 gives |power| errors O(0.1) that compound through the
-    # T recurrence over deep overdraw (measured 0.25 abs color divergence
-    # vs the f32 XLA path at 20k splats before this fix)
-    power = jax.lax.dot_general(
-        u, v[:6], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                   # [S, NPX]
+    if POWER_VPU:
+        # direct f32 evaluation: dx,dy are tile-center-relative deltas
+        xsT = jax.lax.transpose(xsl, (1, 0))               # [S, 1]
+        ysT = jax.lax.transpose(ysl, (1, 0))
+        aT = jax.lax.transpose(a, (1, 0))
+        bT = jax.lax.transpose(b, (1, 0))
+        cT = jax.lax.transpose(c, (1, 0))
+        dx = xsT - v[1:2]                                  # [S, NPX]
+        dy = ysT - v[2:3]
+        power = (-0.5 * (aT * dx * dx + cT * dy * dy)
+                 - bT * (dx * dy))                         # [S, NPX]
+    else:
+        # HIGHEST: TPU matmuls default to bf16 passes; px^2 ~ 4e3
+        # truncated to bf16 gives |power| errors O(0.1) that compound
+        # through the T recurrence over deep overdraw (measured 0.25 abs
+        # color divergence vs the f32 XLA path at 20k splats)
+        power = jax.lax.dot_general(
+            u, v[:6], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # [S, NPX]
     op = jax.lax.transpose(raw[5:6], (1, 0))                   # [S, 1]
     ealpha = op * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, ealpha)
     row = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, 1), 0)
     m = (row < remaining) & (power <= 0.0) & (alpha >= ALPHA_MIN)
     log1m = jnp.where(m, jnp.log1p(-alpha), 0.0)
-    # exact f32 inclusive prefix on the VPU (the [S,S] triangular matmul
-    # truncates log1m to bf16 on the MXU — same divergence mechanism)
-    cum = _cumsum_sublane(log1m)
+    if PREFIX_MXU:
+        # inclusive prefix as tril @ log1m at HIGHEST (3-pass f32
+        # emulation, abs error ~1e-5 on |log1m|<=9 vs the bf16 default's
+        # O(0.1) divergence)
+        cum = jax.lax.dot_general(
+            _lower_tri(), log1m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        # exact f32 inclusive prefix on the VPU
+        cum = _cumsum_sublane(log1m)
     log_T_incl = carry_log + cum                               # [S, NPX]
     include = m & (log_T_incl >= LOG_T_EPS) & (done < 0.5)
     T_excl = jnp.exp(log_T_incl - log1m)
