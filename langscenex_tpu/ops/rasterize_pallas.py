@@ -63,6 +63,7 @@ ROWS = 24              # payload rows: 6 geom + 16 channels + 2 pad; the
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 LOG_T_EPS = float(np.log(1e-4))
+T_EPS = 1e-4
 
 
 class AlignedPairs(NamedTuple):
@@ -158,6 +159,18 @@ def _cumsum_sublane(x):
     return x
 
 
+def _cumprod_sublane(x):
+    """f32 inclusive prefix product along axis 0 (log-step roll+mul)."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, 0)
+        x = x * jnp.where(row >= k, shifted, 1.0)
+        k *= 2
+    return x
+
+
 def _local_u(raw, tile_cx, tile_cy):
     """u rows [6, S] + (xsl, ysl, a, b, c, op) from raw payload [32, S] in
     tile-center-relative coordinates."""
@@ -180,10 +193,26 @@ POWER_VPU = True       # falloff Q(d) evaluated directly on the VPU
 PREFIX_MXU = False     # transmittance prefix via HIGHEST triangular
 #                        matmul instead of the 7-step roll+add chain
 #                        (measured slower: see KERNELS.md 11b)
+LINEAR_T = False       # transmittance recurrence in LINEAR domain (the
+#                        CUDA loop's own form, forward.cu:335-430:
+#                        T *= 1-alpha): the masked prefix is a roll+mul
+#                        cumprod and the carry a running min of T_incl —
+#                        deletes the log1p and the T_excl exp.
+#                        MEASURED NEUTRAL on device (21.47 vs 21.57 ms
+#                        fwd, 33.70 vs 33.77 ms fwd+bwd at 100k/720x480;
+#                        experiments/ab_linear_t.py): the VPU chain is
+#                        bound by the roll+mul/add prefix itself, not the
+#                        two transcendentals. Default stays log-domain —
+#                        bit-matched to ops/rasterize.py's XLA form.
 
 
-def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
-    """Shared forward recurrence for one chunk of S_CHUNK splats."""
+def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry, done):
+    """Shared forward recurrence for one chunk of S_CHUNK splats.
+
+    ``carry`` is per-pixel transmittance state entering the chunk: T
+    itself under LINEAR_T, log T otherwise. Returns
+    (e, ealpha, alpha, include, T_excl, w, new_carry, new_done) with
+    e = exp(power) so the backward reuses it for d/d(opacity)."""
     u, xsl, ysl, a, b, c = _local_u(raw, tile_cx, tile_cy)
     if POWER_VPU:
         # direct f32 evaluation: dx,dy are tile-center-relative deltas
@@ -206,10 +235,32 @@ def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)           # [S, NPX]
     op = jax.lax.transpose(raw[5:6], (1, 0))                   # [S, 1]
-    ealpha = op * jnp.exp(power)
+    e = jnp.exp(power)
+    ealpha = op * e
     alpha = jnp.minimum(ALPHA_MAX, ealpha)
     row = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, 1), 0)
     m = (row < remaining) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    if LINEAR_T:
+        # T *= (1 - alpha) with masked rows contributing factor 1; the
+        # exclusive prefix product comes from an extra 1-row roll before
+        # the inclusive cumprod. Included rows are a PREFIX of the m
+        # rows (T_incl is non-increasing, so once it crosses T_EPS no
+        # later row is included) — the chunk-exit carry is therefore the
+        # running min of T_incl over included rows, which is
+        # self-consistent with the prefix by construction (no separate
+        # reduction rounding).
+        f = jnp.where(m, 1.0 - alpha, 1.0)
+        fsh = jnp.where(row >= 1, pltpu.roll(f, 1, 0), 1.0)
+        T_excl = carry * _cumprod_sublane(fsh)                 # [S, NPX]
+        T_incl = T_excl * f
+        include = m & (T_incl >= T_EPS) & (done < 0.5)
+        w = jnp.where(include, alpha * T_excl, 0.0)
+        new_carry = jnp.min(jnp.where(include, T_incl, carry),
+                            axis=0, keepdims=True)
+        new_done = jnp.maximum(
+            done, jnp.max(jnp.where(m & (T_incl < T_EPS), 1.0, 0.0),
+                          axis=0, keepdims=True))
+        return e, ealpha, alpha, include, T_excl, w, new_carry, new_done
     log1m = jnp.where(m, jnp.log1p(-alpha), 0.0)
     if PREFIX_MXU:
         # inclusive prefix as tril @ log1m at HIGHEST (3-pass f32
@@ -222,16 +273,16 @@ def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry_log, done):
     else:
         # exact f32 inclusive prefix on the VPU
         cum = _cumsum_sublane(log1m)
-    log_T_incl = carry_log + cum                               # [S, NPX]
+    log_T_incl = carry + cum                                   # [S, NPX]
     include = m & (log_T_incl >= LOG_T_EPS) & (done < 0.5)
     T_excl = jnp.exp(log_T_incl - log1m)
     w = jnp.where(include, alpha * T_excl, 0.0)
-    new_carry = carry_log + jnp.sum(jnp.where(include, log1m, 0.0),
-                                    axis=0, keepdims=True)
+    new_carry = carry + jnp.sum(jnp.where(include, log1m, 0.0),
+                                axis=0, keepdims=True)
     new_done = jnp.maximum(
         done, jnp.max(jnp.where(m & (log_T_incl < LOG_T_EPS), 1.0, 0.0),
                       axis=0, keepdims=True))
-    return power, ealpha, alpha, include, T_excl, w, new_carry, new_done
+    return e, ealpha, alpha, include, T_excl, w, new_carry, new_done
 
 
 def _tile_center(t, grid_x, tile_w: int, tile_h: int):
@@ -252,7 +303,8 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
     n_chunks = pl.cdiv(count, S_CHUNK)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    carry_ref[...] = jnp.zeros_like(carry_ref)
+    carry_ref[...] = (jnp.ones_like(carry_ref) if LINEAR_T
+                      else jnp.zeros_like(carry_ref))
     done_ref[...] = jnp.zeros_like(done_ref)
 
     def dma_in(slot, ci):
@@ -283,7 +335,7 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
             dma_in(slot, ci).wait()
 
             raw = pay_buf[slot, 0]
-            (power, ealpha, alpha, include, T_excl, w,
+            (_, _, _, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
                 raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
                 carry_ref[...], done_ref[...])
@@ -333,7 +385,8 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
             jax.lax.fori_loop(final_ci, n_chunks, zbody, 0)
 
     img_ref[0, 0:16] = acc_ref[...]
-    img_ref[0, 16:17] = jnp.exp(carry_ref[...])
+    img_ref[0, 16:17] = (carry_ref[...] if LINEAR_T
+                         else jnp.exp(carry_ref[...]))
     img_ref[0, 17:18] = done_ref[...]
 
 
@@ -382,7 +435,8 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
     v = _pixel_basis(tile_w, tile_h)
     n_chunks = pl.cdiv(count, S_CHUNK)
 
-    carry_ref[...] = jnp.zeros_like(carry_ref)
+    carry_ref[...] = (jnp.ones_like(carry_ref) if LINEAR_T
+                      else jnp.zeros_like(carry_ref))
     done_ref[...] = jnp.zeros_like(done_ref)
 
     g = gimg_ref[0, 0:16]                            # [16, NPX]
@@ -414,7 +468,7 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             dma_in(slot, ci).wait()
 
             raw = pay_buf[slot, 0]
-            (power, ealpha, alpha, include, T_excl, w,
+            (e, ealpha, alpha, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
                 raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
                 carry_ref[...], done_ref[...])
@@ -432,7 +486,7 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 0.0)
             not_clamped = (ealpha < ALPHA_MAX).astype(jnp.float32)
             dpower = dalpha * alpha * not_clamped
-            dop = dalpha * jnp.exp(power) * not_clamped
+            dop = dalpha * e * not_clamped
 
             du = jax.lax.dot_general(
                 dpower, v, (((1,), (1,)), ((), ())),
