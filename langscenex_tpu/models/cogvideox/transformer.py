@@ -101,6 +101,40 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     return jnp.stack([rx1, rx2], axis=-1).reshape(x.shape)
 
 
+def rope_full_tables(cos: jnp.ndarray, sin: jnp.ndarray, text_len: int):
+    """Expand half-width video rope tables to full-sequence, full-D form
+    for the fused pair-swap rotation (`apply_rope_fused`).
+
+    The interleaved rotation r[2i] = x[2i]·c_i − x[2i+1]·s_i,
+    r[2i+1] = x[2i+1]·c_i + x[2i]·s_i is exactly
+    ``x·C + swap_pairs(x)·S`` with C[d] = c_{d//2} and
+    S[d] = s_{d//2}·(+1 if d odd else −1). Text tokens get the identity
+    rotation (C=1, S=0), so the caller can rotate the WHOLE joint
+    [text; video] q/k in one fused elementwise pass — no per-block
+    slicing or dynamic-update-slice over the ~109 MB head tensors, and
+    no stride-2 slices (which materialize 32-lane intermediates that
+    Mosaic/XLA pad to 128 lanes). Returns (C, S) each
+    [text_len + T_video, D] f32."""
+    T, half = cos.shape
+    c = jnp.repeat(cos, 2, axis=-1)                       # [T, D]
+    sgn = jnp.where(jnp.arange(2 * half) % 2 == 1, 1.0, -1.0)
+    s = jnp.repeat(sin, 2, axis=-1) * sgn[None]
+    c = jnp.concatenate([jnp.ones((text_len, 2 * half), c.dtype), c], 0)
+    s = jnp.concatenate([jnp.zeros((text_len, 2 * half), s.dtype), s], 0)
+    return c, s
+
+
+def apply_rope_fused(x: jnp.ndarray, cos_full: jnp.ndarray,
+                     sin_full: jnp.ndarray):
+    """Fused rotation over the full joint sequence: x [..., T, D] with
+    full-width tables from `rope_full_tables`. Bit-equivalent math to
+    `apply_rope` on the video rows, identity on the text rows."""
+    D = x.shape[-1]
+    xs = jnp.flip(x.reshape(x.shape[:-1] + (D // 2, 2)), -1)
+    xs = xs.reshape(x.shape)
+    return x * cos_full.astype(x.dtype) + xs * sin_full.astype(x.dtype)
+
+
 class LayerNormZero(nn.Module):
     """CogVideoXLayerNormZero: SiLU(temb) -> 6*hidden; LN then per-stream
     (video/text) shift/scale, returning gates for the residual add."""
@@ -147,9 +181,12 @@ class JointAttention(nn.Module):
         q = nn.LayerNorm(epsilon=1e-6, name="norm_q")(q)
         k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(k)
         if rope is not None:
-            cos, sin = rope
-            q = q.at[:, :, Tt:].set(apply_rope(q[:, :, Tt:], cos, sin))
-            k = k.at[:, :, Tt:].set(apply_rope(k[:, :, Tt:], cos, sin))
+            # full-sequence fused rotation (identity on the text prefix):
+            # two fused elementwise passes instead of slice + stride-2
+            # deinterleave + dynamic-update-slice per tensor
+            cos_full, sin_full = rope
+            q = apply_rope_fused(q, cos_full, sin_full)
+            k = apply_rope_fused(k, cos_full, sin_full)
         out = attention(q, k, v, cfg.attn_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tt + Tv, cfg.hidden)
         out = nn.Dense(cfg.hidden, name="to_out")(out)
@@ -222,7 +259,13 @@ class CogVideoXTransformer(nn.Module):
         # (measured 2x step time at 5B scale)
         temb = temb.astype(latents.dtype)
 
-        rope = rope_3d(cfg, F, Hp, Wp) if cfg.use_rotary else None
+        if cfg.use_rotary:
+            # full [text; video] tables built ONCE and shared by all 42
+            # blocks; text rows carry the identity rotation
+            rope = rope_full_tables(*rope_3d(cfg, F, Hp, Wp),
+                                    text_len=text.shape[1])
+        else:
+            rope = None
 
         video = x
         # remat trades the per-block activation stash for recompute in the

@@ -67,6 +67,26 @@ class TestTransformer:
         np.testing.assert_allclose(np.asarray(rx[:, :, 0]),
                                    np.asarray(x[:, :, 0]), atol=1e-6)
 
+    def test_rope_fused_matches_interleaved(self):
+        """apply_rope_fused over the joint [text; video] sequence must
+        equal the reference interleaved rotation on video rows and the
+        identity on text rows."""
+        from langscenex_tpu.models.cogvideox.transformer import (
+            rope_full_tables, apply_rope_fused)
+        cos, sin = rope_3d(TINY, 3, 4, 6)
+        Tt = 5
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(
+            size=(2, 2, Tt + 72, TINY.head_dim)).astype(np.float32))
+        cf, sf = rope_full_tables(cos, sin, text_len=Tt)
+        fused = apply_rope_fused(x, cf, sf)
+        ref_video = apply_rope(x[:, :, Tt:], cos, sin)
+        np.testing.assert_allclose(np.asarray(fused[:, :, :Tt]),
+                                   np.asarray(x[:, :, :Tt]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fused[:, :, Tt:]),
+                                   np.asarray(ref_video), rtol=1e-6,
+                                   atol=1e-6)
+
     def test_sinusoidal(self):
         e = sinusoidal_timestep(jnp.array([0.0, 100.0]), 64)
         assert e.shape == (2, 64)
