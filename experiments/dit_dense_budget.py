@@ -58,11 +58,19 @@ if __name__ == "__main__":
     params = init_bf16()
     full = bench(params, 1, tag="full")
     orig = fa.attention_auto
+    stub_traced = []
     try:
-        fa.attention_auto = lambda q, k, v, **kw: v
+        fa.attention_auto = lambda q, k, v, **kw: (stub_traced.append(1), v)[1]
         stub = bench(params, 1, tag="attn-stubbed")
     finally:
         fa.attention_auto = orig
+    # transformer.attention imports attention_auto lazily at trace time;
+    # if that import is ever hoisted to module level the monkeypatch
+    # silently becomes a no-op and this run times the FULL model under
+    # the 'attn-stubbed' tag. Fail loudly instead of mis-attributing.
+    assert stub_traced, (
+        "attention stub was never traced — transformer.attention no longer "
+        "resolves flash_attention.attention_auto lazily; budget invalid")
     print(f"attention(+staging): {full - stub:.3f} s "
           f"({(full - stub) / cfg.num_layers * 1e3:.1f} ms/layer); "
           f"dense/other: {stub:.3f} s", flush=True)

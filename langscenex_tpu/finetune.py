@@ -7,16 +7,22 @@ accelerate train script does not).
 
 Data layout: `--data` contains one subdirectory of frames per video
 (the contract of models/cogvideox/datasets.VideoClipDataset). Latents
-come from the 3D causal VAE when `--vae` provides converted weights;
-otherwise a deterministic space-to-depth stub encoder keeps the whole
-loop runnable for smoke tests and schedule dry-runs. Conditioning
-latents follow the interpolation pipeline: first+last frame encoded,
-middle zero-padded, concatenated on channels.
+come from the REAL 3D causal VAE whenever `--vae` provides converted
+weights (an orbax dir: either a bare VAE tree or the merged {dit,vae}
+video_inference tree), scaled by the pipeline's vae_scaling_factor so
+fine-tune latents match inference latents exactly
+(cogvideox_interpolation/pipeline.py:270-340). Without `--vae` a
+deterministic space-to-depth stub encoder keeps the loop runnable for
+smoke tests — with a loud RuntimeWarning, since a DiT fine-tuned on
+stub latents is useless against the real VAE. Conditioning latents
+follow the interpolation pipeline: first+last frame encoded, middle
+zero-padded, concatenated on channels.
 """
 from __future__ import annotations
 
 import argparse
 import os
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -36,6 +42,39 @@ def stub_encode(clip: np.ndarray, latent_channels: int = 16) -> np.ndarray:
     g = (C * 64) // latent_channels
     return x[:, :g * latent_channels].reshape(
         Fp, latent_channels, g, H // 8, W // 8).mean(2)
+
+
+def make_vae_encode(vae_tree, vae_cfg=None, scale: float = 0.7):
+    """Real-VAE encode_fn: [F,3,H,W] in [-1,1] -> [F',16,h,w] latents
+    (posterior mean × scaling factor — the deterministic choice the
+    interpolation pipeline makes for its conditioning latents)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.cogvideox.vae import AutoencoderKL3D, VAEConfig
+
+    model = AutoencoderKL3D(vae_cfg or VAEConfig())
+
+    @jax.jit
+    def _enc(video):
+        mean, _ = model.apply(vae_tree, video,
+                              method=AutoencoderKL3D.encode)
+        return mean * scale
+
+    def encode_fn(clip: np.ndarray) -> np.ndarray:
+        return np.asarray(_enc(jnp.asarray(clip[None], jnp.float32))[0])
+
+    return encode_fn
+
+
+def load_vae_encode(path: str, vae_cfg=None, scale: float = 0.7):
+    """Restore an orbax VAE dir (bare tree or merged {dit,vae}) and
+    return the real encode_fn."""
+    import orbax.checkpoint as ocp
+    tree = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    if isinstance(tree, dict) and "vae" in tree:
+        tree = tree["vae"]
+    return make_vae_encode(tree, vae_cfg=vae_cfg, scale=scale)
 
 
 def build_batch(ds, text_encoder, B: int, prompt: str,
@@ -82,7 +121,11 @@ def main(argv: Optional[list] = None) -> dict:
     ap.add_argument("--rank", type=int, default=16)
     ap.add_argument("--t5", default=None, help="torch T5 checkpoint dir")
     ap.add_argument("--vae", default=None,
-                    help="(reserved) converted VAE params; stub otherwise")
+                    help="orbax dir with converted VAE params (bare tree "
+                         "or merged {dit,vae}); stub encoder otherwise")
+    ap.add_argument("--vae-scale", type=float, default=0.7,
+                    help="latent scaling factor (CogVideoX-5b VAE: 0.7; "
+                         "must match video_inference's)")
     ap.add_argument("--out", default="./finetune_out")
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=10)
@@ -111,9 +154,25 @@ def main(argv: Optional[list] = None) -> dict:
         raise SystemExit("no video dirs with enough frames under --data")
     text_encoder = TextEncoder(args.t5, embed_dim=text_dim)
 
+    if args.vae:
+        vae_cfg = None
+        if args.tiny:
+            from .models.cogvideox.vae import VAEConfig
+            vae_cfg = VAEConfig(block_out_channels=(8, 16, 16, 32),
+                                layers_per_block=1, norm_groups=4)
+        encode_fn = load_vae_encode(args.vae, vae_cfg=vae_cfg,
+                                    scale=args.vae_scale)
+    else:
+        warnings.warn(
+            "finetune: no --vae given — latents come from the "
+            "space-to-depth STUB encoder. Fine for smoke tests; a DiT "
+            "fine-tuned on stub latents is useless against the real VAE.",
+            RuntimeWarning, stacklevel=1)
+        encode_fn = stub_encode
+
     model = CogVideoXTransformer(cfg)
     batch = build_batch(ds, text_encoder, args.batch, args.prompt,
-                        stub_encode)
+                        encode_fn)
     lat = jnp.concatenate([batch["x0"], batch["cond"]], axis=2)
     params = model.init(jax.random.PRNGKey(0), lat, batch["text"],
                         jnp.zeros((args.batch,), jnp.int32))["params"]
@@ -133,7 +192,7 @@ def main(argv: Optional[list] = None) -> dict:
     last = {}
     for i in range(args.steps):
         batch = build_batch(ds, text_encoder, args.batch, args.prompt,
-                            stub_encode)
+                            encode_fn)
         rng, sub = jax.random.split(rng)
         state, metrics = jstep(state, batch, sub)
         if i % args.log_every == 0:

@@ -104,3 +104,65 @@ def test_finetune_cli_smoke(tmp_path):
                "--lora", "--rank", "2", "--out", str(tmp_path / "out2"),
                "--save-every", "0"])
     assert np.isfinite(m2["loss"])
+
+
+def test_finetune_real_vae_latents(tmp_path):
+    """--vae routes fine-tune latents through the REAL AutoencoderKL3D
+    encoder (VERDICT r2 item 4: the stub-encoder default is retired
+    whenever VAE params exist)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from PIL import Image
+    from langscenex_tpu.finetune import main, make_vae_encode
+    from langscenex_tpu.models.cogvideox.vae import (AutoencoderKL3D,
+                                                     VAEConfig)
+
+    tiny_cfg = VAEConfig(block_out_channels=(8, 16, 16, 32),
+                         layers_per_block=1, norm_groups=4)
+    vae = AutoencoderKL3D(tiny_cfg)
+    variables = vae.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 5, 3, 64, 96)))
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "vae_ckpt"), variables)
+    ck.wait_until_finished()
+
+    # encode_fn == posterior mean x scale, with the causal 4x temporal
+    # compression (9 frames -> 3 latent frames)
+    rng = np.random.default_rng(1)
+    clip = rng.uniform(-1, 1, (9, 3, 64, 96)).astype(np.float32)
+    enc = make_vae_encode(variables, vae_cfg=tiny_cfg, scale=0.7)
+    lat = enc(clip)
+    assert lat.shape == (3, 16, 8, 12)
+    mean, _ = vae.apply(variables, jnp.asarray(clip[None]),
+                        method=AutoencoderKL3D.encode)
+    np.testing.assert_allclose(lat, np.asarray(mean[0]) * 0.7,
+                               rtol=1e-5, atol=1e-5)
+
+    vid = tmp_path / "data" / "vid0"
+    vid.mkdir(parents=True)
+    for i in range(20):
+        Image.fromarray(rng.uniform(0, 255, (64, 96, 3)).astype("uint8")
+                        ).save(vid / f"{i:04d}.png")
+    m = main(["--data", str(tmp_path / "data"), "--tiny", "--steps", "2",
+              "--vae", str(tmp_path / "vae_ckpt"),
+              "--out", str(tmp_path / "out"), "--save-every", "0",
+              "--log-every", "1"])
+    assert np.isfinite(m["loss"])
+
+
+def test_finetune_stub_warns(tmp_path):
+    import warnings as W
+    from PIL import Image
+    from langscenex_tpu.finetune import main
+    rng = np.random.default_rng(0)
+    vid = tmp_path / "data" / "vid0"
+    vid.mkdir(parents=True)
+    for i in range(20):
+        Image.fromarray(rng.uniform(0, 255, (64, 96, 3)).astype("uint8")
+                        ).save(vid / f"{i:04d}.png")
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        main(["--data", str(tmp_path / "data"), "--tiny", "--steps", "1",
+              "--out", str(tmp_path / "out"), "--save-every", "0"])
+    assert any("STUB encoder" in str(w.message) for w in rec)

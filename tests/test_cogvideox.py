@@ -277,3 +277,68 @@ class TestOutputBroadcast:
         # steps 0,1 head + 2,4,6,8 window-evals + 9 tail = 7 of 10
         assert count[0] == 7
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestLayerNormZeroStreams:
+    """Pin the adaLN chunk ordering (ADVICE r2). Diffusers'
+    CogVideoXLayerNormZero emits [shift, scale, gate, t_shift, t_scale,
+    t_gate] — VIDEO modulation first, TEXT second — while the joint
+    residual stream is laid out [text; video]. A swapped slice passes
+    every shape/jit test; these tests pin the semantics by forcing the
+    adaLN linear to constants and checking which rows receive which
+    chunk (cf. diffusers cogvideox_transformer_3d norm1/norm2 usage)."""
+
+    def _force_linear(self, params, path, hidden, chunks):
+        lin = params["params"]
+        for k in path:
+            lin = lin[k]
+        lin["kernel"] = jnp.zeros_like(lin["kernel"])
+        lin["bias"] = jnp.concatenate(
+            [jnp.full((hidden,), v, jnp.float32) for v in chunks])
+        return params
+
+    def test_chunk_ordering(self):
+        from langscenex_tpu.models.cogvideox.transformer import LayerNormZero
+        hidden, Tt = 8, 3
+        m = LayerNormZero(hidden, Tt)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 7, hidden)), jnp.float32)
+        temb = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+        params = jax.tree_util.tree_map(
+            lambda a: a, m.init(jax.random.PRNGKey(0), x, temb))
+        # shift=10, scale=0, gate=2, t_shift=20, t_scale=0, t_gate=3
+        params = self._force_linear(params, ("linear",), hidden,
+                                    (10.0, 0.0, 2.0, 20.0, 0.0, 3.0))
+        out, g, tg = m.apply(params, x, temb)
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        ln = (x - mu) / jnp.sqrt(var + 1e-5)
+        # text prefix rows take t_shift/t_scale; video suffix shift/scale
+        np.testing.assert_allclose(np.asarray(out[:, :Tt]),
+                                   np.asarray(ln[:, :Tt]) + 20.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[:, Tt:]),
+                                   np.asarray(ln[:, Tt:]) + 10.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), 2.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tg), 3.0, atol=1e-6)
+
+    def test_block_gate_routing(self):
+        from langscenex_tpu.models.cogvideox.transformer import Block
+        cfg, Tt = TINY, 5
+        hidden = cfg.num_heads * cfg.head_dim
+        block = Block(cfg, Tt)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, Tt + 12, hidden)), jnp.float32)
+        temb = jnp.asarray(rng.normal(size=(1, cfg.time_embed_dim)),
+                           jnp.float32)
+        params = block.init(jax.random.PRNGKey(0), x, temb, None)
+        # video gate = 1, text gate = 0: text rows must pass through the
+        # block COMPLETELY unchanged (both residual adds gated off)
+        for norm in ("norm1", "norm2"):
+            params = self._force_linear(
+                params, (norm, "linear"), hidden,
+                (0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+        out = block.apply(params, x, temb, None)
+        np.testing.assert_array_equal(np.asarray(out[:, :Tt]),
+                                      np.asarray(x[:, :Tt]))
+        assert not np.allclose(np.asarray(out[:, Tt:]),
+                               np.asarray(x[:, Tt:]))
