@@ -1,0 +1,80 @@
+"""Measured 5.57B fine-tune step time on ONE chip (VERDICT r2 item 5).
+
+LoRA is the one-chip-feasible fine-tune config: base params ride bf16
+(11.1 GB) and the optimizer state covers only the adapters — a FULL
+AdamW fine-tune needs 2x f32 moments (+44 GB) and is a multi-chip
+sharded job (validated on the virtual mesh, experiments/dit_scaling.py).
+Remat is on (per-block) so activations fit at the 17.8k-token sequence.
+
+Run: timeout 4000 python experiments/lora_step_real.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from langscenex_tpu.models.cogvideox.transformer import (
+    CogVideoXTransformer, TransformerConfig)
+from langscenex_tpu.train.dit import DiTTrainConfig
+from langscenex_tpu.train.lora import LoRAConfig, make_lora_train_step
+
+F, C, Hl, Wl, TXT = 13, 16, 60, 90, 226
+
+
+def main():
+    cfg = TransformerConfig(remat=True)
+    model = CogVideoXTransformer(cfg)
+    lat = jax.ShapeDtypeStruct((1, F, 2 * C, Hl, Wl), jnp.bfloat16)
+    txt = jax.ShapeDtypeStruct((1, TXT, cfg.text_embed_dim), jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda l, x: model.init(jax.random.PRNGKey(0), l, x,
+                                jnp.zeros((1,), jnp.int32)), lat, txt)
+    dev = jax.devices()[0]
+    base = jax.tree_util.tree_map(
+        lambda s: jax.device_put(jnp.zeros(s.shape, jnp.bfloat16), dev),
+        shapes)["params"]
+    n = sum(x.size for x in jax.tree_util.tree_leaves(base))
+    print(f"base params {n/1e9:.2f}B bf16", flush=True)
+
+    tcfg = DiTTrainConfig(lr=1e-4, total_steps=100, warmup_steps=10)
+    init_state, step = make_lora_train_step(model, base, tcfg,
+                                            LoRAConfig(rank=16))
+    state = init_state(jax.random.PRNGKey(1))
+    nl = sum(x.size for x in jax.tree_util.tree_leaves(state["lora"]))
+    print(f"lora adapters {nl/1e6:.1f}M", flush=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x0": jnp.asarray(rng.normal(size=(1, F, C, Hl, Wl)), jnp.bfloat16),
+        "cond": jnp.asarray(rng.normal(size=(1, F, C, Hl, Wl)),
+                            jnp.bfloat16),
+        "text": jnp.asarray(rng.normal(size=(1, TXT, cfg.text_embed_dim)),
+                            jnp.bfloat16),
+    }
+    jstep = jax.jit(step, donate_argnums=0)
+    key = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    state, m = jstep(state, batch, key)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+          f"loss={float(m['loss']):.4f}", flush=True)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = jstep(state, batch, key)
+        loss = float(m["loss"])                 # fetch = fence
+        ts.append(time.perf_counter() - t0)
+    print(f"LoRA fine-tune step (B=1, 5.57B, remat): "
+          f"{min(ts):.2f} s/step (loss {loss:.4f})", flush=True)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        print({k: v for k, v in stats.items() if "bytes" in k}, flush=True)
+    except Exception as e:
+        print("memory_stats:", e, flush=True)
+
+
+if __name__ == "__main__":
+    main()

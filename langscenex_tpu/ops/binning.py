@@ -220,10 +220,16 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
         demand_f = None
     off = _budget_offsets(kept)                      # [P] f32
 
+    # Invalid/budget-dropped pairs carry the SID SENTINEL ``P`` too (not
+    # just the tile sentinel): the align-free blend path gathers payload
+    # rows for EVERY sorted slot, so dropped slots must resolve to the
+    # zero sentinel row (and their gradient/observe scatters to row P,
+    # which callers slice off). Valid pairs are unaffected; the aligned
+    # path never reads beyond per-tile counts either way.
     valid1 = keep1 & (off[:, None] + rank1 < budget)
     key_tile1 = jnp.where(valid1, tile_id1, n_tiles).reshape(-1)
     key_depth1 = jnp.broadcast_to(depth[:, None], (P, K1)).reshape(-1)
-    sid1 = jnp.broadcast_to(sid_base[:, None], (P, K1)).reshape(-1)
+    sid1 = jnp.where(valid1, sid_base[:, None], P).reshape(-1)
 
     if keep2 is None:
         return (key_tile1.astype(jnp.int32), key_depth1, sid1,
@@ -232,7 +238,7 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
     valid2 = keep2 & (off[big_idx][:, None] + rank2 < budget)
     key_tile2 = jnp.where(valid2, tile_id2, n_tiles).reshape(-1)
     key_depth2 = jnp.broadcast_to(depth[big_idx][:, None], (B, K2)).reshape(-1)
-    sid2 = jnp.broadcast_to(sid_base[big_idx][:, None], (B, K2)).reshape(-1)
+    sid2 = jnp.where(valid2, sid_base[big_idx][:, None], P).reshape(-1)
 
     return (jnp.concatenate([key_tile1, key_tile2]).astype(jnp.int32),
             jnp.concatenate([key_depth1, key_depth2]),
@@ -362,7 +368,9 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
     point_list, tile_starts, tile_counts = _finish(
         key_tile, key_rank, sid, n_tiles, max_pairs)
     if not return_ranks:
-        point_list = perm[point_list]
+        # keep the SID SENTINEL P through the rank->id permutation
+        point_list = jnp.where(point_list >= P, P,
+                               perm[jnp.minimum(point_list, P - 1)])
 
     if demand_f is None:
         num_pairs, overflowed = _demand(tt, budget)

@@ -81,6 +81,15 @@ class RasterConfig:
     # ones — targets the transaction-bound A-row gather (KERNELS.md §6).
     # Identical output; costs one extra [P,*] permutation gather.
     payload_depth_rank: bool = False
+    # Align-free blend staging (round 3, KERNELS.md §12): gather payload
+    # rows ONCE in sorted-pair order and let the kernel walk TRUE
+    # (unaligned) tile ranges with head-masked shared chunks — deletes
+    # the sorted->aligned second gather and the cummax alignment maps
+    # (the staging stage measured 11.4 ms of the 23 ms forward).
+    # Identical output. Requires max_pairs (the gather domain is the
+    # sorted list; unbudgeted lists span the full enumeration domain) —
+    # falls back to the aligned layout otherwise.
+    align_free: bool = True
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:

@@ -206,11 +206,14 @@ LINEAR_T = False       # transmittance recurrence in LINEAR domain (the
 #                        bit-matched to ops/rasterize.py's XLA form.
 
 
-def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry, done):
+def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry, done, lo=None):
     """Shared forward recurrence for one chunk of S_CHUNK splats.
 
     ``carry`` is per-pixel transmittance state entering the chunk: T
-    itself under LINEAR_T, log T otherwise. Returns
+    itself under LINEAR_T, log T otherwise. ``lo``: first row of this
+    chunk that belongs to the current tile (align-free segments start
+    mid-chunk; rows < lo are the PREVIOUS tile's pairs and are masked
+    out exactly like rows >= remaining). Returns
     (e, ealpha, alpha, include, T_excl, w, new_carry, new_done) with
     e = exp(power) so the backward reuses it for d/d(opacity)."""
     u, xsl, ysl, a, b, c = _local_u(raw, tile_cx, tile_cy)
@@ -240,6 +243,8 @@ def _chunk_state(raw, v, tile_cx, tile_cy, remaining, carry, done):
     alpha = jnp.minimum(ALPHA_MAX, ealpha)
     row = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, 1), 0)
     m = (row < remaining) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    if lo is not None:
+        m = m & (row >= lo)
     if LINEAR_T:
         # T *= (1 - alpha) with masked rows contributing factor 1; the
         # exclusive prefix product comes from an extra 1-row roll before
@@ -293,14 +298,20 @@ def _tile_center(t, grid_x, tile_w: int, tile_h: int):
 
 def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 pay_hbm, img_ref, obs_hbm,
-                pay_buf, obs_buf, acc_ref, carry_ref, done_ref,
+                pay_buf, obs_buf, obs_prev, acc_ref, carry_ref, done_ref,
                 in_sems, obs_sem, *, tile_w: int, tile_h: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     tile_cx, tile_cy = _tile_center(t, grid_x_ref[0], tile_w, tile_h)
     v = _pixel_basis(tile_w, tile_h)
-    n_chunks = pl.cdiv(count, S_CHUNK)
+    # align-free segments: a tile's pairs start mid-chunk at row ``head``
+    # of chunk ``base_c`` (aligned callers pass 128-multiple starts and
+    # head == 0 — the same kernel serves both layouts)
+    base_c = start // S_CHUNK
+    head = start - base_c * S_CHUNK
+    n_chunks = pl.cdiv(head + count, S_CHUNK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S_CHUNK), 1)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     carry_ref[...] = (jnp.ones_like(carry_ref) if LINEAR_T
@@ -313,13 +324,22 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
         # the XLA side — the full [A,24]->[24,A] transpose measured ~8 ms
         # of the 29 ms forward, experiments/ab_forward5). Lane dim 128
         # keeps the HBM memref unpadded and DMA slices tile-aligned.
-        c = (start + ci * S_CHUNK) // S_CHUNK
-        return pltpu.make_async_copy(pay_hbm.at[pl.ds(c, 1)],
+        return pltpu.make_async_copy(pay_hbm.at[pl.ds(base_c + ci, 1)],
                                      pay_buf.at[slot], in_sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
+        # the first chunk may be shared with the PREVIOUS tile (head>0):
+        # its rows < head were already written — read-merge them (grid
+        # steps run sequentially on the core, so the previous tile's
+        # write has retired)
+        @pl.when(head > 0)
+        def _():
+            rmw = pltpu.make_async_copy(obs_hbm.at[pl.ds(base_c, 1), :],
+                                        obs_prev, obs_sem)
+            rmw.start()
+            rmw.wait()
 
         def cond(state):
             ci, all_done = state
@@ -337,8 +357,8 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
             raw = pay_buf[slot, 0]
             (_, _, _, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
-                raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
-                carry_ref[...], done_ref[...])
+                raw, v, tile_cx, tile_cy, head + count - ci * S_CHUNK,
+                carry_ref[...], done_ref[...], lo=head - ci * S_CHUNK)
 
             acc_ref[...] += jax.lax.dot_general(
                 raw[6:22], w, (((1,), (0,)), ((), ())),
@@ -346,11 +366,11 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
 
             obs = jnp.sum(jnp.where(include & (T_excl > 0.5), 1.0, 0.0),
                           axis=1, keepdims=True)      # [S, 1]
-            obs_buf[...] = jax.lax.transpose(obs, (1, 0))
+            obs_row = jax.lax.transpose(obs, (1, 0))
+            obs_buf[...] = jnp.where((ci == 0) & (lane < head),
+                                     obs_prev[...], obs_row)
             obs_dma = pltpu.make_async_copy(
-                obs_buf,
-                obs_hbm.at[pl.ds((start + ci * S_CHUNK) // S_CHUNK, 1), :],
-                obs_sem)
+                obs_buf, obs_hbm.at[pl.ds(base_c + ci, 1), :], obs_sem)
             obs_dma.start()
             carry_ref[...] = new_carry
             done_ref[...] = new_done
@@ -368,16 +388,16 @@ def _fwd_kernel(starts_ref, counts_ref, grid_x_ref,
             dma_in(final_ci % 2, final_ci).wait()
 
         # zero the obs rows of skipped chunks (the HBM output is
-        # uninitialized; stale rows would corrupt the observe scatter)
+        # uninitialized; stale rows would corrupt the observe scatter).
+        # final_ci >= 1 here (the loop body runs at least once), so
+        # skipped chunks never contain a previous tile's rows.
         @pl.when(final_ci < n_chunks)
         def _():
             obs_buf[...] = jnp.zeros_like(obs_buf)
 
             def zbody(ci, _):
                 zdma = pltpu.make_async_copy(
-                    obs_buf,
-                    obs_hbm.at[pl.ds((start + ci * S_CHUNK) // S_CHUNK, 1), :],
-                    obs_sem)
+                    obs_buf, obs_hbm.at[pl.ds(base_c + ci, 1), :], obs_sem)
                 zdma.start()
                 zdma.wait()
                 return 0
@@ -405,6 +425,7 @@ def _blend_fwd_impl(pay3, starts, counts, grid_x: int, n_tiles: int,
         scratch_shapes=[
             pltpu.VMEM((2, 1, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, S_CHUNK), jnp.float32),
+            pltpu.VMEM((1, S_CHUNK), jnp.float32),
             pltpu.VMEM((16, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
@@ -426,14 +447,17 @@ def _blend_fwd_impl(pay3, starts, counts, grid_x: int, n_tiles: int,
 def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                 pay_hbm, gimg_ref, img_ref,
                 packed_hbm,
-                pay_buf, out_buf, carry_ref, done_ref, tot_ref,
+                pay_buf, out_buf, out_prev, carry_ref, done_ref, tot_ref,
                 in_sems, out_sem, *, tile_w: int, tile_h: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     tile_cx, tile_cy = _tile_center(t, grid_x_ref[0], tile_w, tile_h)
     v = _pixel_basis(tile_w, tile_h)
-    n_chunks = pl.cdiv(count, S_CHUNK)
+    base_c = start // S_CHUNK
+    head = start - base_c * S_CHUNK
+    n_chunks = pl.cdiv(head + count, S_CHUNK)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, ROWS, S_CHUNK), 2)
 
     carry_ref[...] = (jnp.ones_like(carry_ref) if LINEAR_T
                       else jnp.zeros_like(carry_ref))
@@ -446,13 +470,20 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
     tot_ref[...] = jnp.sum(acc * g, axis=0, keepdims=True)
 
     def dma_in(slot, ci):
-        c = (start + ci * S_CHUNK) // S_CHUNK
-        return pltpu.make_async_copy(pay_hbm.at[pl.ds(c, 1)],
+        return pltpu.make_async_copy(pay_hbm.at[pl.ds(base_c + ci, 1)],
                                      pay_buf.at[slot], in_sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
+        # shared head chunk: merge the previous tile's already-written
+        # dpay rows (sequential grid => the write has retired)
+        @pl.when(head > 0)
+        def _():
+            rmw = pltpu.make_async_copy(packed_hbm.at[pl.ds(base_c, 1)],
+                                        out_prev, out_sem)
+            rmw.start()
+            rmw.wait()
 
         def cond(state):
             ci, _, all_done = state
@@ -470,8 +501,8 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             raw = pay_buf[slot, 0]
             (e, ealpha, alpha, include, T_excl, w,
              new_carry, new_done) = _chunk_state(
-                raw, v, tile_cx, tile_cy, count - ci * S_CHUNK,
-                carry_ref[...], done_ref[...])
+                raw, v, tile_cx, tile_cy, head + count - ci * S_CHUNK,
+                carry_ref[...], done_ref[...], lo=head - ci * S_CHUNK)
 
             chg = jax.lax.dot_general(
                 raw[6:22], g, (((0,), (0,)), ((), ())),
@@ -527,10 +558,11 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
             parts = [dxs, dys, da, db, dc, dop_sum, dch, absx, absy]
             if ROWS > 24:
                 parts.append(jnp.zeros((ROWS - 24, S_CHUNK), jnp.float32))
-            out_buf[...] = jnp.concatenate(parts, axis=0)[None]
-            c = (start + ci * S_CHUNK) // S_CHUNK
+            packed = jnp.concatenate(parts, axis=0)[None]
+            out_buf[...] = jnp.where((ci == 0) & (lane3 < head),
+                                     out_prev[...], packed)
             odma = pltpu.make_async_copy(
-                out_buf, packed_hbm.at[pl.ds(c, 1)], out_sem)
+                out_buf, packed_hbm.at[pl.ds(base_c + ci, 1)], out_sem)
             odma.start()
 
             carry_ref[...] = new_carry
@@ -547,16 +579,16 @@ def _bwd_kernel(starts_ref, counts_ref, grid_x_ref,
                          jnp.zeros(())))
 
         # retire the in-flight prefetch and zero the skipped chunks' rows
-        # (the packed HBM output is uninitialized)
+        # (the packed HBM output is uninitialized; final_ci >= 1, so the
+        # zeroed chunks never hold a previous tile's rows)
         @pl.when(final_ci < n_chunks)
         def _():
             dma_in(final_ci % 2, final_ci).wait()
             out_buf[...] = jnp.zeros_like(out_buf)
 
             def zbody(ci, _):
-                c = (start + ci * S_CHUNK) // S_CHUNK
                 zdma = pltpu.make_async_copy(
-                    out_buf, packed_hbm.at[pl.ds(c, 1)], out_sem)
+                    out_buf, packed_hbm.at[pl.ds(base_c + ci, 1)], out_sem)
                 zdma.start()
                 zdma.wait()
                 return 0
@@ -578,6 +610,7 @@ def _blend_bwd_impl(pay3, starts, counts, img, gimg,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, 1, ROWS, S_CHUNK), jnp.float32),
+            pltpu.VMEM((1, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, ROWS, S_CHUNK), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((1, NPX), jnp.float32),
@@ -650,13 +683,10 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
     C = channels.shape[1]
     assert C <= 16
 
-    ap = build_aligned_pairs(lists, n_tiles)
-    list_len = lists.point_list.shape[0]
-
-    # payload [P+1, 32] (sentinel zero row) -> aligned order via ONE row
-    # gather with a composed index. optimization_barrier prevents XLA from
-    # fusing concat+gather+transpose into a single 32-pass strided fusion
-    # (measured 68ms fused vs ~1ms staged).
+    # ---- staging: map per-splat payload rows into blend-chunk order ----
+    # payload [P+1, ROWS] (sentinel zero row at P). optimization_barrier
+    # prevents XLA from fusing concat+gather+transpose into a single
+    # 32-pass strided fusion (measured 68ms fused vs ~1ms staged).
     pad_cols = jnp.zeros((P, ROWS - 6 - C), jnp.float32)
     payload = jnp.concatenate(
         [mean2d, conic, opacity.reshape(-1, 1), channels, pad_cols,
@@ -664,7 +694,36 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
     payload = jnp.concatenate(
         [payload, jnp.zeros((1, ROWS), payload.dtype)], axis=0)
     payload = jax.lax.optimization_barrier(payload)
-    slot_splat = jnp.where(ap.ids < 0, P, ap.ids)             # [A]
+
+    align_free = (cfg.align_free and cfg.max_pairs is not None
+                  and not cfg.payload_depth_rank)
+    if align_free:
+        # ALIGN-FREE staging (round 3): gather payload rows ONCE in
+        # sorted-pair order and hand the kernel the TRUE (unaligned)
+        # tile ranges; head rows of shared chunks are masked in-kernel.
+        # This deletes the second A-sized gather (sorted ids -> aligned
+        # slots) and the cummax alignment maps of build_aligned_pairs —
+        # the staging stage measured 11.4 ms of the 23 ms forward and
+        # two chained 640k-row gathers are ~3.1 ms each in isolation
+        # (experiments/ab_staging2.py, ab_gather2.py). Budget-dropped
+        # pairs carry the sid sentinel P (binning), so they gather the
+        # zero row and scatter gradients/observe counts into slot P,
+        # which is sliced off.
+        L = lists.point_list.shape[0]
+        Lp = ((L + S_CHUNK - 1) // S_CHUNK) * S_CHUNK
+        slot_splat = lists.point_list
+        if Lp != L:
+            slot_splat = jnp.concatenate(
+                [slot_splat, jnp.full((Lp - L,), P, jnp.int32)])
+        slot_splat = jnp.minimum(slot_splat, P)
+        starts, counts = lists.tile_starts, lists.tile_counts
+        n_slots = Lp
+    else:
+        ap = build_aligned_pairs(lists, n_tiles)
+        slot_splat = jnp.where(ap.ids < 0, P, ap.ids)         # [A]
+        starts, counts = ap.starts, ap.counts
+        n_slots = ap.src.shape[0]
+
     pay_rm = jnp.take(payload, slot_splat, axis=0)            # [A, 24]
     pay_rm = jax.lax.optimization_barrier(pay_rm)
     # [A/128, 24, 128] chunk blocks: batched local transposes instead of
@@ -677,15 +736,18 @@ def blend_tiles_pallas(lists: TileLists, mean2d, conic, opacity, channels,
                              jnp.zeros((1, 2), jnp.float32)], 0),
             slot_splat, axis=0)
     else:
-        hook = jnp.zeros((ap.src.shape[0], 2), jnp.float32)
+        hook = jnp.zeros((n_slots, 2), jnp.float32)
 
-    img, obs = blend_pairs(pay3, hook, ap.starts, ap.counts,
+    img, obs = blend_pairs(pay3, hook, starts, counts,
                            grid_x, n_tiles, cfg.tile_w, cfg.tile_h)
 
     accum = img[:, :C, :]
     T = img[:, 16, :]
     obs_flat = jax.lax.stop_gradient(obs).reshape(-1)
-    obs_idx = jnp.where(ap.ids < 0, P, ap.ids)
-    observe = jnp.zeros((P,), jnp.int32).at[obs_idx].add(
+    # sentinel slots (padding / dropped pairs) index P -> mode='drop'.
+    # Align-free trailing chunks beyond the last tile's range are never
+    # written by the kernel; their slots are sentinel-P too, so any
+    # garbage drops here as well.
+    observe = jnp.zeros((P,), jnp.int32).at[slot_splat].add(
         obs_flat.astype(jnp.int32), mode='drop')
     return accum, T, observe

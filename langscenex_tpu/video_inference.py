@@ -47,10 +47,17 @@ def save_video_frames(video: np.ndarray, out_dir: str, fps: int = 8) -> None:
 
 
 def build_pipeline(checkpoint: str | None, t5_path: str | None,
-                   tiny: bool = False, pcfg_overrides: dict | None = None):
+                   tiny: bool = False, pcfg_overrides: dict | None = None,
+                   zero_weights: bool = False):
     """Assemble DiT + VAE + scheduler + text encoder. Without a checkpoint
     the models run with random/zero weights (shape/pipeline validation
-    only — weights must be converted via utils/convert.py)."""
+    only — weights must be converted via utils/convert.py).
+
+    ``zero_weights``: stage all-zero bf16 params via jax.eval_shape
+    instead of a real init — timing/memory-equivalent (the MXU does not
+    skip zeros) and avoids a minutes-long single-core 5.57B host init.
+    This is the perf-validation mode for running the FULL-SCALE pipeline
+    before converted checkpoints exist (VERDICT r2 item 2)."""
     import dataclasses
 
     import jax
@@ -89,9 +96,26 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
     Hl, Wl = pcfg.latent_height, pcfg.latent_width
     lat0 = jnp.zeros((1, F, 2 * C, Hl, Wl))
     txt0 = jnp.zeros((1, 226, text_dim))
-    dit_params = dit.init(key, lat0, txt0, jnp.zeros((1,), jnp.int32))
     vid0 = jnp.zeros((1, 1, 3, pcfg.height, pcfg.width))
-    vae_params = vae.init(key, vid0)
+    if zero_weights:
+        dev = jax.devices()[0]
+
+        def stage(init_fn):
+            shapes = jax.eval_shape(init_fn)
+            return jax.tree_util.tree_map(
+                lambda s: jax.device_put(
+                    jnp.zeros(s.shape, jnp.bfloat16
+                              if s.dtype == jnp.float32 else s.dtype), dev),
+                shapes)
+
+        dit_params = stage(lambda: dit.init(
+            key, lat0.astype(jnp.bfloat16), txt0.astype(jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32)))
+        vae_params = stage(lambda: vae.init(
+            key, vid0.astype(jnp.bfloat16)))
+    else:
+        dit_params = dit.init(key, lat0, txt0, jnp.zeros((1,), jnp.int32))
+        vae_params = vae.init(key, vid0)
 
     if checkpoint:
         import orbax.checkpoint as ocp
@@ -116,7 +140,8 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
     text = TextEncoder(t5_path, embed_dim=text_dim)
     pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
                                  DDIMScheduler(), pcfg)
-    return pipe, text, pcfg
+    return pipe, text, pcfg, {"vae_decode": vae_decode,
+                              "dit_params": dit_params}
 
 
 def main(argv=None) -> int:
@@ -137,6 +162,13 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model (pipeline smoke test)")
+    p.add_argument("--zero-weights", action="store_true",
+                   help="stage zero bf16 params via eval_shape: the "
+                        "perf/HBM-validation mode for full-scale runs "
+                        "before converted checkpoints exist")
+    p.add_argument("--report", action="store_true",
+                   help="print a JSON perf line: wall-clock, peak HBM, "
+                        "VAE-decode ms/frame")
     p.add_argument("--broadcast_interval", type=int, default=1,
                    help="training-free DiT output broadcast: >1 reuses "
                         "the guided noise prediction for this many steps "
@@ -149,16 +181,43 @@ def main(argv=None) -> int:
     if not args.tiny:
         # tiny mode pins its own 4-step schedule
         overrides["num_inference_steps"] = args.num_inference_steps
-    pipe, text, pcfg = build_pipeline(args.checkpoint, args.t5, args.tiny,
-                                      pcfg_overrides=overrides)
+    pipe, text, pcfg, aux = build_pipeline(
+        args.checkpoint, args.t5, args.tiny, pcfg_overrides=overrides,
+        zero_weights=args.zero_weights)
     first = load_image(args.first_image, (pcfg.height, pcfg.width))[None]
     last = load_image(args.last_image, (pcfg.height, pcfg.width))[None]
     cond = jnp.asarray(text.encode([args.prompt]))
     uncond = jnp.asarray(text.encode([args.negative_prompt]))
+    import time
+    t0 = time.perf_counter()
     video = pipe(jax.random.PRNGKey(args.seed), jnp.asarray(first),
                  jnp.asarray(last), cond, uncond)
-    save_video_frames(np.asarray(video[0]), args.output_path, args.fps)
+    video = np.asarray(video)                       # fetch = fence
+    t_video = time.perf_counter() - t0
+    save_video_frames(video[0], args.output_path, args.fps)
     log.info("wrote %d frames to %s", video.shape[1], args.output_path)
+    if args.report:
+        import json
+        rec = {"wall_s_incl_compile": round(t_video, 1),
+               "frames": int(video.shape[1]),
+               "steps": int(pcfg.num_inference_steps)}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            for k in ("peak_bytes_in_use", "bytes_in_use", "bytes_limit"):
+                if k in stats:
+                    rec[k] = int(stats[k])
+        except Exception as e:                      # axon may not expose
+            rec["memory_stats_error"] = str(e)
+        # steady-state tiled decode, timed with a fetch fence
+        F, C = pcfg.latent_frames, pcfg.latent_channels
+        z = jnp.zeros((1, F, C, pcfg.latent_height, pcfg.latent_width),
+                      jnp.float32)
+        np.asarray(aux["vae_decode"](z))            # compile cached above
+        t0 = time.perf_counter()
+        np.asarray(aux["vae_decode"](z))
+        rec["vae_decode_ms_per_frame"] = round(
+            (time.perf_counter() - t0) * 1e3 / pcfg.num_frames, 1)
+        print(json.dumps(rec), flush=True)
     return 0
 
 

@@ -221,3 +221,110 @@ class TestPallasDepthRank:
                                       np.asarray(b.final_T))
         np.testing.assert_array_equal(np.asarray(a.out_observe),
                                       np.asarray(b.out_observe))
+
+
+class TestAlignFree:
+    """Round-3 align-free staging (RasterConfig.align_free): the kernel
+    walks TRUE unaligned tile ranges (head-masked shared chunks +
+    read-merge-write on chunk boundaries) and the payload is gathered
+    ONCE in sorted-pair order. Must be BIT-identical to the aligned
+    layout — forward, gradients, and observe counts — including tiles
+    sharing a chunk, budget truncation, and the early-exit path."""
+
+    def _render(self, cfg, P=300, seed=3, opac_hi=0.95, grads=False):
+        import dataclasses
+        from langscenex_tpu.ops.rasterize import rasterize
+        rng = np.random.default_rng(seed)
+        fovx = 1.0
+        fovy = tf.focal2fov(tf.fov2focal(fovx, W), H)
+        cam = RasterCamera(
+            w2c=jnp.eye(4),
+            proj=jnp.asarray(tf.projection_matrix(0.01, 100, fovx, fovy)),
+            width=W, height=H, tan_fovx=float(np.tan(fovx / 2)),
+            tan_fovy=float(np.tan(fovy / 2)))
+        means = jnp.asarray(np.stack(
+            [rng.uniform(-2, 2, P), rng.uniform(-0.3, 0.3, P),
+             rng.uniform(2, 8, P)], -1), jnp.float32)
+        scales = jnp.asarray(np.exp(rng.uniform(-3.5, -1.5, (P, 3))),
+                             jnp.float32)
+        quats = rng.normal(size=(P, 4))
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        quats = jnp.asarray(quats, jnp.float32)
+        opac = jnp.asarray(rng.uniform(0.2, opac_hi, P), jnp.float32)
+        shs = jnp.asarray(
+            np.concatenate([rng.uniform(0, 1, (P, 1, 3)),
+                            np.zeros((P, 0, 3))], 1), jnp.float32)
+        lang = jnp.asarray(rng.uniform(-1, 1, (P, 3)), jnp.float32)
+        inst = jnp.asarray(rng.uniform(-1, 1, (P, 3)), jnp.float32)
+
+        def run(op):
+            with pltpu.force_tpu_interpret_mode():
+                out = rasterize(means, scales, quats, op, cam,
+                                jnp.zeros(3), shs=shs, sh_degree=0,
+                                language_feature=lang,
+                                instance_feature=inst, cfg=cfg)
+                return out
+
+        out = run(opac)
+        res = {"color": np.asarray(out.color),
+               "lang": np.asarray(out.language),
+               "T": np.asarray(out.final_T),
+               "obs": np.asarray(out.out_observe)}
+        if grads:
+            def loss(op, m):
+                with pltpu.force_tpu_interpret_mode():
+                    o = rasterize(m, scales, quats, op, cam, jnp.zeros(3),
+                                  shs=shs, sh_degree=0,
+                                  language_feature=lang,
+                                  instance_feature=inst, cfg=cfg)
+                return (jnp.sum(o.color * o.color)
+                        + jnp.sum(o.language) + jnp.sum(o.final_T))
+            with pltpu.force_tpu_interpret_mode():
+                go, gm = jax.grad(loss, argnums=(0, 1))(opac, means)
+            res["gop"] = np.asarray(go)
+            res["gmeans"] = np.asarray(gm)
+        return res
+
+    @pytest.mark.parametrize("max_pairs", [4096, 1024])
+    def test_matches_aligned_forward_and_grads(self, max_pairs):
+        # NOT bit-equal by construction: the per-chunk transmittance
+        # carry splits at different rows (segments start mid-chunk), so
+        # f32 prefix rounding differs at ~1e-7. Same pairs, same order,
+        # same math — tight tolerances, exact observe counts.
+        import dataclasses
+        base = dataclasses.replace(CFG, use_pallas=True,
+                                   max_pairs=max_pairs, align_free=False)
+        free = dataclasses.replace(base, align_free=True)
+        a = self._render(base, grads=True)
+        b = self._render(free, grads=True)
+        for k in ("color", "lang", "T"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, rtol=1e-5,
+                                       err_msg=k)
+        np.testing.assert_array_equal(a["obs"], b["obs"])
+        for k in ("gop", "gmeans"):
+            np.testing.assert_allclose(a[k], b[k], atol=2e-4, rtol=1e-3,
+                                       err_msg=k)
+
+    def test_early_exit_overdraw(self):
+        # near-opaque splats drive the early-exit + zero-fill path
+        import dataclasses
+        base = dataclasses.replace(CFG, use_pallas=True, max_pairs=2048,
+                                   align_free=False)
+        free = dataclasses.replace(base, align_free=True)
+        a = self._render(base, P=500, seed=5, opac_hi=0.999)
+        b = self._render(free, P=500, seed=5, opac_hi=0.999)
+        for k in ("color", "lang", "T"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, rtol=1e-5,
+                                       err_msg=k)
+        np.testing.assert_array_equal(a["obs"], b["obs"])
+
+    def test_matches_xla_reference(self):
+        import dataclasses
+        free = dataclasses.replace(CFG, use_pallas=True, max_pairs=4096,
+                                   align_free=True)
+        xla = dataclasses.replace(CFG, use_pallas=False, max_pairs=4096)
+        a = self._render(xla)
+        b = self._render(free)
+        np.testing.assert_allclose(a["color"], b["color"], atol=1e-5)
+        np.testing.assert_allclose(a["T"], b["T"], atol=1e-6)
+        np.testing.assert_array_equal(a["obs"], b["obs"])
