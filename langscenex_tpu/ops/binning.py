@@ -323,7 +323,8 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
                                    max_pairs: int | None = None,
                                    big_splats: int = 256,
                                    return_ranks: bool = False,
-                                   cull: CullSpec | None = None) -> TileLists:
+                                   cull: CullSpec | None = None,
+                                   packed_key: bool = False) -> TileLists:
     """Same contract as :func:`build_tile_lists`, enumerated in DEPTH
     order: splats are [P]-sorted by depth first and pairs keyed by
     (tile, depth RANK) — deterministic on depth ties, and the
@@ -365,8 +366,24 @@ def build_tile_lists_depth_presort(proc: ProcessedSplats, grid_x: int,
      demand_f) = _enumerate_two_tier(
         tt, rect_min, rect_w, rank, rank, K1, K2, B,
         grid_x, n_tiles, budget, cull=cull)
-    point_list, tile_starts, tile_counts = _finish(
-        key_tile, key_rank, sid, n_tiles, max_pairs)
+    if (packed_key and P <= (1 << 22)
+            and (n_tiles + 1) * (1 << 22) + P < 2 ** 31):
+        # (tile, rank) fit one int32: tile (<=2^9-1 incl. sentinel) in the
+        # high bits, rank (<2^22) low — a SINGLE-key sort moves 2 streams
+        # instead of 3 (the sort is the largest forward line after the
+        # align-free staging, KERNELS.md §12). Exactly the same order:
+        # both components are non-negative ints, so lexicographic
+        # (tile, rank) == numeric tile*2^22 + rank.
+        key = key_tile * (1 << 22) + key_rank
+        sorted_key, point_list = jax.lax.sort((key, sid), num_keys=1)
+        if max_pairs is not None and max_pairs < sorted_key.shape[0]:
+            sorted_key = sorted_key[:max_pairs]
+            point_list = point_list[:max_pairs]
+        tile_starts, tile_counts = _tile_ranges(
+            sorted_key >> 22, n_tiles)
+    else:
+        point_list, tile_starts, tile_counts = _finish(
+            key_tile, key_rank, sid, n_tiles, max_pairs)
     if not return_ranks:
         # keep the SID SENTINEL P through the rank->id permutation
         point_list = jnp.where(point_list >= P, P,

@@ -357,7 +357,93 @@ def _bwd_dkv_kernel_t(qx_ref, kx_ref, v_ref, do_ref, doT_ref, qTx_ref,
         dvT_ref[0] = dv_acc[...].astype(dvT_ref.dtype)
 
 
-_BWD_BLOCK = 512     # backward holds s, p, dp, ds live: half the fwd block
+def _bwd_fused_kernel_t(kx_ref, qTx_ref, v_ref, doT_ref, l2T_ref,
+                        dvecT_ref, kT_ref, dkT_ref, dvT_ref, dq_hbm,
+                        dk_acc, dv_acc, dq_buf, dq_sem, *, scale):
+    """FUSED transposed backward: ONE kernel produces dq, dk and dv.
+
+    The split dq/dkv kernels each recompute s and dp — 7 [Bq,Bk]-sized
+    MXU passes where 5 suffice (s, dp, dq, dk, dv). Everything rides the
+    sT [Bk,Bq] feature-major layout (KERNELS.md §11):
+
+      sT   = kx · qTx            pT = exp2(sT − l2T)
+      dpT  = v · doT             dsT = pT (dpT − dvecT)
+      dvT += doT ·₁ pT           dkT += q̃T ·₁ dsT      (D rows stream)
+      dqT[j] (+)= scale · kT · dsT
+
+    Grid (BH, k-blocks, q-blocks) q-innermost: dk/dv accumulate in VMEM
+    per k-block; the dq accumulator lives in HBM as an f32 output that
+    each k-block READ-MODIFY-WRITES per q-block (initialized at kb==0;
+    grid steps run sequentially on the core, so the RMW is race-free —
+    ~0.5 MB/step, ~3 ms total at the DiT shape vs the ~38 ms the saved
+    s/dp recomputation costs)."""
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    b = pl.program_id(0)
+    bq = qTx_ref.shape[-1]
+    D = dkT_ref.shape[1]
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    kx = kx_ref[0]                      # [Bk, D+1] (col D = pad bias)
+    qTx = qTx_ref[0]                    # [D+1, Bq] (row D = 1; scaled)
+    v = v_ref[0]                        # [Bk, D]
+    doT = doT_ref[0]                    # [D, Bq]
+    sT = jax.lax.dot_general(
+        kx, qTx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, Bq]
+    pT = jnp.exp2(sT - l2T_ref[0])
+    dpT = jax.lax.dot_general(
+        v, doT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Bk, Bq]
+    dsT = (pT * (dpT - dvecT_ref[0])).astype(kx.dtype)
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        doT, pT.astype(doT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [D, Bk]
+    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+        qTx[:D], dsT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [D, Bk]
+    contrib = jax.lax.dot_general(
+        kT_ref[0], dsT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [D, Bq]
+
+    dst = dq_hbm.at[b, :, pl.ds(qb * bq, bq)]
+
+    @pl.when(kb == 0)
+    def _():
+        dq_buf[...] = contrib
+
+    @pl.when(kb > 0)
+    def _():
+        rd = pltpu.make_async_copy(dst, dq_buf, dq_sem)
+        rd.start()
+        rd.wait()
+        dq_buf[...] = dq_buf[...] + contrib
+
+    wr = pltpu.make_async_copy(dq_buf, dst, dq_sem)
+    wr.start()
+    wr.wait()
+
+    @pl.when(qb == pl.num_programs(2) - 1)
+    def _():
+        dkT_ref[0] = (dk_acc[...] * (1.0 / _LOG2E)).astype(dkT_ref.dtype)
+        dvT_ref[0] = dv_acc[...].astype(dvT_ref.dtype)
+
+
+FUSED_BWD = True     # route the bounded/nt backward through the fused
+#                      kernel (split dq + dkv kernels remain for A/B)
+_BWD_BLOCK = 1024    # backward block (both axes unless the *_Q/*_K
+#                      overrides below are set): 512 was the round-2
+#                      default ("s/p/dp/ds all live -> half the fwd
+#                      block") but 1024 measured 208.6 -> 179.5 ms
+#                      fwd+bwd at the DiT shape (experiments/
+#                      ab_attention6.py) — the bigger MXU tiles beat the
+#                      VMEM pressure on v5e. 256 is 2.3x WORSE.
+_BWD_BLOCK_Q = None  # optional per-axis overrides (None = _BWD_BLOCK)
+_BWD_BLOCK_K = None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -375,8 +461,8 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k, bounded_logits):
 
 def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
     q, k, v, out, l2 = res
-    bq = min(_BWD_BLOCK, block_q)
-    bk = min(_BWD_BLOCK, block_k)
+    bq = min(_BWD_BLOCK_Q or _BWD_BLOCK, block_q)
+    bk = min(_BWD_BLOCK_K or _BWD_BLOCK, block_k)
     qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp) = _fwd_prep(
         q, k, v, scale, bq, bk)
     dop = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, 0))
@@ -390,6 +476,59 @@ def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
 
     bh = B * H
     nq, nk = Tp // bq, Tkp // bk
+
+    if bounded_logits and NT_BOUNDED_FORWARD and FUSED_BWD:
+        # FUSED transposed backward: dq + dk + dv from one kernel
+        # (docstring of _bwd_fused_kernel_t)
+        qTx = qp.transpose(0, 2, 1)                  # [BH, D+1, Tp]
+        doT = dop.transpose(0, 2, 1)                 # [BH, D, Tp]
+        kT = kp[:, :, :D].transpose(0, 2, 1)         # [BH, D, Tkp]
+        l2T = l2p.transpose(0, 2, 1)                 # [BH, 1, Tp]
+        dvecT = dvec.transpose(0, 2, 1)
+        dkT, dvT, dqT = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel_t, scale=scale),
+            grid=(bh, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, bk, D + 1), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D + 1, bq), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, D, Tkp), k.dtype),
+                jax.ShapeDtypeStruct((bh, D, Tkp), v.dtype),
+                jax.ShapeDtypeStruct((bh, D, Tp), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((D, bk), jnp.float32),
+                            pltpu.VMEM((D, bk), jnp.float32),
+                            pltpu.VMEM((D, bq), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(kp, qTx, vp, doT, l2T, dvecT, kT)
+        dq = dqT.astype(q.dtype).transpose(0, 2, 1)
+        dk = dkT.transpose(0, 2, 1)
+        dv = dvT.transpose(0, 2, 1)
+        dq = dq.reshape(B, H, Tp, D)[:, :, :T]
+        dk = dk.reshape(B, H, Tkp, D)[:, :, :Tk]
+        dv = dv.reshape(B, H, Tkp, D)[:, :, :Tk]
+        return dq, dk, dv
 
     if bounded_logits and NT_BOUNDED_FORWARD:
         # transposed dq (see _bwd_dq_kernel_t): feature-major operands

@@ -90,6 +90,12 @@ class RasterConfig:
     # sorted list; unbudgeted lists span the full enumeration domain) —
     # falls back to the aligned layout otherwise.
     align_free: bool = True
+    # With depth_presort: pack (tile, depth-rank) into ONE int32 sort key
+    # (tile high bits, rank low) — the 2-key 3-stream lax.sort becomes a
+    # 1-key 2-stream sort, −33% sort traffic on the largest remaining
+    # forward line (KERNELS.md §12). Exact same order; auto-falls back
+    # when tile*2^22+rank would overflow int32.
+    packed_sort: bool = False
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -270,7 +276,8 @@ def rasterize(
         lists = build_tile_lists_depth_presort(
             proc, grid_x, grid_y, cfg.max_tiles_per_splat,
             max_pairs=cfg.max_pairs, big_splats=cfg.big_splats,
-            return_ranks=use_ranks, cull=cull)
+            return_ranks=use_ranks, cull=cull,
+            packed_key=cfg.packed_sort)
     else:
         lists = build_tile_lists(proc, grid_x, grid_y,
                                  cfg.max_tiles_per_splat,

@@ -590,3 +590,40 @@ class TestOpacityAwareBinning:
         vis = np.asarray(p1.visible)
         np.testing.assert_array_equal(np.asarray(p0.radius)[vis],
                                       np.asarray(p1.radius)[vis])
+
+
+class TestPackedSort:
+    def test_packed_key_matches_two_key(self):
+        """depth_presort + packed_key: ONE int32 (tile<<22 | rank) key
+        must reproduce the 2-key (tile, rank) sort exactly (both
+        components non-negative => lexicographic == numeric)."""
+        import numpy as np
+        from langscenex_tpu.ops.binning import build_tile_lists_depth_presort
+        from langscenex_tpu.ops.projection import preprocess
+        cam = make_camera(W=128, H=96)
+        rng = np.random.default_rng(7)
+        P = 400
+        means = jnp.asarray(np.stack(
+            [rng.uniform(-2, 2, P), rng.uniform(-0.5, 0.5, P),
+             rng.uniform(2, 8, P)], -1), jnp.float32)
+        scales = jnp.asarray(np.exp(rng.uniform(-3.5, -1.5, (P, 3))),
+                             jnp.float32)
+        quats = rng.normal(size=(P, 4))
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        cols = jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32)
+        proc = preprocess(means, scales, jnp.asarray(quats, jnp.float32),
+                          cam, colors_precomp=cols, tile_w=32, tile_h=32)
+        gx = (cam.width + 31) // 32
+        gy = (cam.height + 31) // 32
+        for mp in (None, 512):
+            a = build_tile_lists_depth_presort(proc, gx, gy, 16,
+                                               max_pairs=mp)
+            b = build_tile_lists_depth_presort(proc, gx, gy, 16,
+                                               max_pairs=mp,
+                                               packed_key=True)
+            np.testing.assert_array_equal(np.asarray(a.point_list),
+                                          np.asarray(b.point_list))
+            np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                          np.asarray(b.tile_starts))
+            np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                          np.asarray(b.tile_counts))
