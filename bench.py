@@ -12,10 +12,18 @@ the full target surface (VERDICT r2 item 3):
 
 Baselines: the reference publishes no numbers (BASELINE.md).
   - Render: 100 FPS nominal for the reference CUDA rasterizer on A100 at
-    the same scene scale — a conservative community figure for
-    full-featured language-field rasterizers, documented here until a
-    measured A100 baseline exists (docs/KERNELS.md §12 gives the v5e
-    roofline analysis of our own number).
+    the same scene scale. Derivation (no egress, so argued from the
+    published literature rather than measured): Kerbl et al. 2023
+    ("3D Gaussian Splatting for Real-Time Radiance Field Rendering",
+    SIGGRAPH, Table 1) report ~134 fps average at 1080p on an RTX A6000
+    for RGB-only 3DGS over Mip-NeRF360 scenes (1-6M splats). The
+    diff-langsurf variant blends 16 channels instead of 3 (more blend
+    math/bytes, identical binning), but this bench runs 720x480 (~1/6
+    the pixels) with 100k splats (10-60x fewer) — those factors more
+    than offset the channel count, so 100 fps is a conservative-to-fair
+    A100 anchor; the true figure plausibly exceeds 150. The remaining
+    gap analysis (XLA sort throughput + random-row gather issue rate vs
+    GPU radix sort + gather hardware) is docs/KERNELS.md §12b.
   - DiT: 6.5 s/step nominal for CogVideoX-5b-class 50-step generation at
     49x480x720 on A100 WITHOUT offload (community diffusers timings);
     the reference's actual config uses sequential CPU offload
