@@ -64,17 +64,21 @@ def main():
     print(f"DiT {n/1e9:.2f}B params staged in "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
-    denoiser = jax.jit(lambda lat, txt, t: dit.apply(
-        dit_params, lat.astype(jnp.bfloat16), txt.astype(jnp.bfloat16), t))
-    vae_encode = jax.jit(lambda imgs: vae.apply(
-        vae_params, imgs.astype(jnp.bfloat16),
-        method=AutoencoderKL3D.encode)[0])
+    # params as jit ARGS, not closed-over constants (11.1 GB of captured
+    # constants ride the remote compile request otherwise)
+    denoiser = lambda p, lat, txt, t: dit.apply(
+        p, lat.astype(jnp.bfloat16), txt.astype(jnp.bfloat16), t)
+    _enc_jit = jax.jit(lambda p, imgs: vae.apply(
+        p, imgs.astype(jnp.bfloat16), method=AutoencoderKL3D.encode)[0])
+    vae_encode = lambda imgs: _enc_jit(vae_params, imgs)
     from langscenex_tpu.models.cogvideox.vae import spatial_tile_decode
-    _decode_one = jax.jit(lambda z: vae.apply(
-        vae_params, z.astype(jnp.bfloat16), method=AutoencoderKL3D.decode))
+    _dec_jit = jax.jit(lambda p, z: vae.apply(
+        p, z.astype(jnp.bfloat16), method=AutoencoderKL3D.decode))
+    _decode_one = lambda z: _dec_jit(vae_params, z)
     vae_decode = lambda z: spatial_tile_decode(_decode_one, z)
     pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
-                                 DDIMScheduler(), pcfg)
+                                 DDIMScheduler(), pcfg,
+                                 denoiser_params=dit_params)
 
     rng = np.random.default_rng(0)
     first = jnp.asarray(rng.uniform(-1, 1, (1, 3, pcfg.height, pcfg.width)),

@@ -149,12 +149,34 @@ class InterpolationPipeline:
 
     def __init__(self, denoiser_fn, vae_encode, vae_decode,
                  scheduler: Optional[DDIMScheduler] = None,
-                 cfg: PipelineConfig = PipelineConfig()):
+                 cfg: PipelineConfig = PipelineConfig(),
+                 denoiser_params=None, unload_loop_for_decode=False):
+        """``denoiser_params``: when given, ``denoiser_fn`` takes
+        ``(params, latents, text, t)`` and the denoise scan is traced
+        under a jit where the params enter as an ARGUMENT. Without this,
+        a full-size DiT's weights are captured as 11.1 GB of lowering
+        CONSTANTS embedded in the (remote) compile request — the axon
+        tunnel stalls/413s on it (same class as bench.py's note)."""
         self.denoiser_fn = denoiser_fn
         self.vae_encode = vae_encode
         self.vae_decode = vae_decode
         self.scheduler = scheduler or DDIMScheduler()
         self.cfg = cfg
+        self.denoiser_params = denoiser_params
+        # TPU executables RESERVE their HLO-temp arena at LOAD time: the
+        # 50-step full-scale denoise program's temps + the 11.1 GB params
+        # + the VAE decode program exceed v5e HBM together (the decode
+        # crashed the worker until the loop executable is dropped first).
+        # Cost: the loop recompiles on the next __call__.
+        self.unload_loop_for_decode = unload_loop_for_decode
+        if denoiser_params is not None:
+            import functools
+            self._jit_loop = jax.jit(
+                lambda p, noise, img, tc, tu: denoise_loop(
+                    functools.partial(denoiser_fn, p), noise, img,
+                    tc, tu, self.scheduler, self.cfg))
+        else:
+            self._jit_loop = None
 
     def __call__(self, key: jax.Array, first_image: jnp.ndarray,
                  last_image: jnp.ndarray, text_cond: jnp.ndarray,
@@ -166,6 +188,14 @@ class InterpolationPipeline:
         last_lat = self.vae_encode(last_image[:, None]) * cfg.vae_scaling_factor
         noise, image_latents = prepare_interpolation_latents(
             key, first_lat, last_lat, cfg)
-        latents = denoise_loop(self.denoiser_fn, noise, image_latents,
-                               text_cond, text_uncond, self.scheduler, cfg)
+        if self._jit_loop is not None:
+            latents = self._jit_loop(self.denoiser_params, noise,
+                                     image_latents, text_cond, text_uncond)
+            if self.unload_loop_for_decode:
+                latents = jax.block_until_ready(latents)
+                self._jit_loop.clear_cache()
+        else:
+            latents = denoise_loop(self.denoiser_fn, noise, image_latents,
+                                   text_cond, text_uncond, self.scheduler,
+                                   cfg)
         return self.vae_decode(latents / cfg.vae_scaling_factor)

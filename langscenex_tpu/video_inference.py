@@ -48,7 +48,7 @@ def save_video_frames(video: np.ndarray, out_dir: str, fps: int = 8) -> None:
 
 def build_pipeline(checkpoint: str | None, t5_path: str | None,
                    tiny: bool = False, pcfg_overrides: dict | None = None,
-                   zero_weights: bool = False):
+                   zero_weights: bool = False, decode_tile: int = 16):
     """Assemble DiT + VAE + scheduler + text encoder. Without a checkpoint
     the models run with random/zero weights (shape/pipeline validation
     only — weights must be converted via utils/convert.py).
@@ -124,22 +124,44 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
                                  {"dit": dit_params, "vae": vae_params})
         dit_params, vae_params = restored["dit"], restored["vae"]
 
-    denoiser = jax.jit(lambda lat, txt, t: dit.apply(dit_params, lat, txt, t))
-    vae_encode = jax.jit(lambda imgs: vae.apply(
-        vae_params, imgs, method=AutoencoderKL3D.encode)[0])
-    _decode_one = jax.jit(lambda z: vae.apply(
-        vae_params, z, method=AutoencoderKL3D.decode))
+    # params ride as jit ARGUMENTS, never closed-over constants: captured
+    # constants are embedded in the (remote) compile request — 11.1 GB of
+    # bf16 DiT params over the axon tunnel stalls or 413s the compile.
+    # The DiT params thread through InterpolationPipeline's jitted scan
+    # (denoiser_params below); the VAE fns are called eagerly, so a
+    # param-as-arg jit suffices for them.
+    denoiser = lambda p, lat, txt, t: dit.apply(p, lat, txt, t)
+    # full-scale: bf16 activations (the reference loads the whole
+    # pipeline in torch bf16, video_inference.py:23-26); f32 decoder
+    # temps are 2x the bytes and OOM the v5e at useful tile sizes
+    act_dt = jnp.float32 if tiny else jnp.bfloat16
+    _enc_jit = jax.jit(lambda p, imgs: vae.apply(
+        p, imgs.astype(act_dt), method=AutoencoderKL3D.encode)[0])
+    vae_encode = lambda imgs: _enc_jit(vae_params, imgs)
+    _dec_jit = jax.jit(lambda p, z: vae.apply(
+        p, z.astype(act_dt), method=AutoencoderKL3D.decode
+        ).astype(jnp.float32))
+    _decode_one = lambda z: _dec_jit(vae_params, z)
     if tiny:
         vae_decode = _decode_one
     else:
         # enable_tiling parity (reference video_inference.py:29-30): a
         # full 49x480x720 decode holds multi-GB decoder activations on
-        # top of the resident DiT — tile spatially and blend seams
+        # top of the resident DiT — tile spatially and blend seams.
+        # decode_tile=16 (128px tiles) keeps peak decoder activations
+        # ~4x under the 32-latent tile; with the 11.1 GB bf16 DiT
+        # resident, 32-tiles crashed the v5e worker (HBM exhaustion)
+        # while 16-tiles fit — measured round 3, PARITY.md.
         from .models.cogvideox.vae import spatial_tile_decode
-        vae_decode = lambda z: spatial_tile_decode(_decode_one, z)
+        ov = max(4, decode_tile // 4)
+        vae_decode = lambda z: spatial_tile_decode(_decode_one, z,
+                                                   tile=decode_tile,
+                                                   overlap=ov)
     text = TextEncoder(t5_path, embed_dim=text_dim)
     pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
-                                 DDIMScheduler(), pcfg)
+                                 DDIMScheduler(), pcfg,
+                                 denoiser_params=dit_params,
+                                 unload_loop_for_decode=not tiny)
     return pipe, text, pcfg, {"vae_decode": vae_decode,
                               "dit_params": dit_params}
 
@@ -169,6 +191,10 @@ def main(argv=None) -> int:
     p.add_argument("--report", action="store_true",
                    help="print a JSON perf line: wall-clock, peak HBM, "
                         "VAE-decode ms/frame")
+    p.add_argument("--decode-tile", type=int, default=16,
+                   help="VAE spatial tile size in latent px (16 = 128px "
+                        "output tiles; 32 crashes the v5e worker with "
+                        "the full DiT resident)")
     p.add_argument("--broadcast_interval", type=int, default=1,
                    help="training-free DiT output broadcast: >1 reuses "
                         "the guided noise prediction for this many steps "
@@ -183,7 +209,7 @@ def main(argv=None) -> int:
         overrides["num_inference_steps"] = args.num_inference_steps
     pipe, text, pcfg, aux = build_pipeline(
         args.checkpoint, args.t5, args.tiny, pcfg_overrides=overrides,
-        zero_weights=args.zero_weights)
+        zero_weights=args.zero_weights, decode_tile=args.decode_tile)
     first = load_image(args.first_image, (pcfg.height, pcfg.width))[None]
     last = load_image(args.last_image, (pcfg.height, pcfg.width))[None]
     cond = jnp.asarray(text.encode([args.prompt]))
