@@ -128,9 +128,10 @@ def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
     def step(carry, xs):
         lat, cache = carry
         t, t_prev, do_eval = xs
+        # a bf16 denoiser (full-scale path) must match the f32 cache carry
         noise_pred = jax.lax.cond(
-            do_eval, lambda args: evaluate(*args), lambda args: cache,
-            (lat, t))
+            do_eval, lambda args: evaluate(*args).astype(lat.dtype),
+            lambda args: cache, (lat, t))
         new_lat = scheduler.step(noise_pred, t, t_prev, lat)
         return (new_lat, noise_pred), None
 

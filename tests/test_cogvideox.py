@@ -206,6 +206,30 @@ class TestPipeline:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+    def test_denoise_loop_bf16_denoiser(self):
+        """Full-scale path regression: a bf16-emitting denoiser must not
+        break the lax.cond against the f32 broadcast cache (the dtype
+        mismatch only ever manifested at reference scale on device)."""
+        from langscenex_tpu.models.cogvideox.pipeline import denoise_loop
+        cfg = PipelineConfig(num_frames=9, height=16, width=24,
+                             num_inference_steps=4, latent_channels=4,
+                             vae_scale_factor_spatial=2,
+                             vae_scale_factor_temporal=4,
+                             vae_scaling_factor=1.0)
+        rng = np.random.default_rng(3)
+        noise = jnp.asarray(rng.normal(size=(1, 3, 4, 8, 12)),
+                            jnp.float32)
+        img_lat = jnp.asarray(rng.normal(size=(1, 3, 4, 8, 12)),
+                              jnp.float32)
+        denoiser = lambda x, text, t: (
+            x[:, :, :4] * jnp.bfloat16(0.5)).astype(jnp.bfloat16)
+        out = jax.jit(lambda n, i: denoise_loop(
+            denoiser, n, i, jnp.zeros((1, 3, 8)), jnp.zeros((1, 3, 8)),
+            DDIMScheduler(), cfg))(noise, img_lat)
+        assert out.dtype == noise.dtype
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
 class TestOutputBroadcast:
     """Training-free output broadcast (PipelineConfig.broadcast_interval)."""
 
