@@ -130,11 +130,14 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
     # The DiT params thread through InterpolationPipeline's jitted scan
     # (denoiser_params below); the VAE fns are called eagerly, so a
     # param-as-arg jit suffices for them.
-    denoiser = lambda p, lat, txt, t: dit.apply(p, lat, txt, t)
     # full-scale: bf16 activations (the reference loads the whole
     # pipeline in torch bf16, video_inference.py:23-26); f32 decoder
-    # temps are 2x the bytes and OOM the v5e at useful tile sizes
+    # temps are 2x the bytes and OOM the v5e at useful tile sizes.
+    # The DiT inputs MUST be cast too: f32 latents against bf16 params
+    # promote every activation to f32 — 2x HBM, faults the v5e mid-loop.
     act_dt = jnp.float32 if tiny else jnp.bfloat16
+    denoiser = lambda p, lat, txt, t: dit.apply(
+        p, lat.astype(act_dt), txt.astype(act_dt), t)
     _enc_jit = jax.jit(lambda p, imgs: vae.apply(
         p, imgs.astype(act_dt), method=AutoencoderKL3D.encode)[0])
     vae_encode = lambda imgs: _enc_jit(vae_params, imgs)
