@@ -11,7 +11,11 @@ update (:749-760), and finally 3D-causal-VAE decode (:777-779).
 TPU-first: the whole denoise loop is one lax.scan under jit; CFG runs as a
 batch of 2 (conditional/unconditional) so the DiT sees a static batch; DP
 over the 3 TriMap videos and TP over DiT heads come from the mesh axes
-(parallel/mesh.py).
+(parallel/mesh.py). At full scale the loop runs CHUNKED (loop_chunk): one
+jitted fixed-length scan segment, host loop over segments — a 50-step
+5.57B program is a ~5-minute single device execution, which exceeds the
+tunneled backend's per-execution deadline and faults the worker; chunks
+of ~10 steps execute in ~60 s each and reuse ONE compiled executable.
 """
 from __future__ import annotations
 
@@ -47,6 +51,12 @@ class PipelineConfig:
     # interval when the model output is locally constant in t.
     broadcast_interval: int = 1
     broadcast_window: Tuple[float, float] = (0.2, 0.9)
+    # Denoise-loop chunking (0 = whole loop in one device program).
+    # >0: scan `loop_chunk` steps per jitted call, host loop over the
+    # schedule (padded with masked no-op steps to a chunk multiple, so a
+    # single executable covers every segment). Numerically identical to
+    # the unchunked loop — same step sequence, same ops.
+    loop_chunk: int = 0
 
     @property
     def latent_frames(self) -> int:
@@ -87,21 +97,15 @@ def dynamic_guidance(scale: float, t: jnp.ndarray, num_train_timesteps: int):
     return 1.0 + (scale - 1.0) * (1.0 - jnp.cos(jnp.pi * frac)) / 2.0
 
 
-def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
-                 image_latents: jnp.ndarray,
-                 text_cond: jnp.ndarray, text_uncond: jnp.ndarray,
-                 scheduler: DDIMScheduler, cfg: PipelineConfig):
-    """CFG denoise loop as a lax.scan (pipeline.py:712-775).
+def schedule_arrays(scheduler: DDIMScheduler, cfg: PipelineConfig):
+    """(ts, ts_prev, compute_mask) for the CFG denoise schedule.
 
-    denoiser(latents [2B,F,2C,H,W], text [2B,L,D], t [2B]) -> [2B,F,C,H,W]
+    compute_mask: True = evaluate the DiT at this step (the output-
+    broadcast schedule; all-True when broadcast_interval == 1).
     """
     n = cfg.num_inference_steps
     ts = scheduler.timesteps(n)
     ts_prev = jnp.concatenate([ts[1:], -jnp.ones((1,), jnp.int32)])
-    text = jnp.concatenate([text_uncond, text_cond], axis=0)
-    B = latents.shape[0]
-
-    # output-broadcast schedule: True = evaluate the DiT at this step
     idx = jnp.arange(n)
     if cfg.broadcast_interval > 1:
         w0 = int(cfg.broadcast_window[0] * n)
@@ -110,6 +114,15 @@ def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
                    | ((idx - w0) % cfg.broadcast_interval == 0))
     else:
         compute = jnp.ones((n,), bool)
+    return ts, ts_prev, compute
+
+
+def _make_step(denoiser: Callable, image_latents: jnp.ndarray,
+               text: jnp.ndarray, scheduler: DDIMScheduler,
+               cfg: PipelineConfig):
+    """The per-step scan body. xs = (t, t_prev, do_eval, valid); `valid`
+    False turns the step into an identity (chunk padding)."""
+    B = image_latents.shape[0]
 
     def evaluate(lat, t):
         lat_in = jnp.concatenate([lat, lat], axis=0)
@@ -127,17 +140,50 @@ def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
 
     def step(carry, xs):
         lat, cache = carry
-        t, t_prev, do_eval = xs
+        t, t_prev, do_eval, valid = xs
         # a bf16 denoiser (full-scale path) must match the f32 cache carry
         noise_pred = jax.lax.cond(
-            do_eval, lambda args: evaluate(*args).astype(lat.dtype),
+            do_eval & valid, lambda args: evaluate(*args).astype(lat.dtype),
             lambda args: cache, (lat, t))
         new_lat = scheduler.step(noise_pred, t, t_prev, lat)
+        new_lat = jnp.where(valid, new_lat, lat)
         return (new_lat, noise_pred), None
 
+    return step
+
+
+def denoise_loop(denoiser: Callable, latents: jnp.ndarray,
+                 image_latents: jnp.ndarray,
+                 text_cond: jnp.ndarray, text_uncond: jnp.ndarray,
+                 scheduler: DDIMScheduler, cfg: PipelineConfig):
+    """CFG denoise loop as one lax.scan (pipeline.py:712-775).
+
+    denoiser(latents [2B,F,2C,H,W], text [2B,L,D], t [2B]) -> [2B,F,C,H,W]
+    """
+    ts, ts_prev, compute = schedule_arrays(scheduler, cfg)
+    text = jnp.concatenate([text_uncond, text_cond], axis=0)
+    step = _make_step(denoiser, image_latents, text, scheduler, cfg)
+    valid = jnp.ones_like(compute)
     (final, _), _ = jax.lax.scan(
-        step, (latents, jnp.zeros_like(latents)), (ts, ts_prev, compute))
+        step, (latents, jnp.zeros_like(latents)),
+        (ts, ts_prev, compute, valid))
     return final
+
+
+def denoise_chunk(denoiser: Callable, latents: jnp.ndarray,
+                  cache: jnp.ndarray, image_latents: jnp.ndarray,
+                  text_cond: jnp.ndarray, text_uncond: jnp.ndarray,
+                  ts: jnp.ndarray, ts_prev: jnp.ndarray,
+                  compute: jnp.ndarray, valid: jnp.ndarray,
+                  scheduler: DDIMScheduler, cfg: PipelineConfig):
+    """One fixed-length segment of the denoise schedule: scan over the
+    given slice, returning (latents, cache) to carry into the next chunk.
+    Identical numerics to the corresponding slice of `denoise_loop`."""
+    text = jnp.concatenate([text_uncond, text_cond], axis=0)
+    step = _make_step(denoiser, image_latents, text, scheduler, cfg)
+    (final, cache), _ = jax.lax.scan(
+        step, (latents, cache), (ts, ts_prev, compute, valid))
+    return final, cache
 
 
 class InterpolationPipeline:
@@ -172,12 +218,47 @@ class InterpolationPipeline:
         self.unload_loop_for_decode = unload_loop_for_decode
         if denoiser_params is not None:
             import functools
-            self._jit_loop = jax.jit(
-                lambda p, noise, img, tc, tu: denoise_loop(
-                    functools.partial(denoiser_fn, p), noise, img,
-                    tc, tu, self.scheduler, self.cfg))
+            if cfg.loop_chunk > 0:
+                self._jit_loop = jax.jit(
+                    lambda p, lat, cache, img, tc, tu, ts, tsp, comp, val:
+                    denoise_chunk(functools.partial(denoiser_fn, p), lat,
+                                  cache, img, tc, tu, ts, tsp, comp, val,
+                                  self.scheduler, self.cfg))
+            else:
+                self._jit_loop = jax.jit(
+                    lambda p, noise, img, tc, tu: denoise_loop(
+                        functools.partial(denoiser_fn, p), noise, img,
+                        tc, tu, self.scheduler, self.cfg))
         else:
             self._jit_loop = None
+
+    def _run_loop_chunked(self, noise, image_latents, text_cond,
+                          text_uncond):
+        """Host loop over fixed-length jitted chunks: every segment
+        reuses ONE executable (the schedule is padded with valid=False
+        identity steps to a chunk multiple), and each device execution
+        stays far below the tunneled backend's per-execution deadline."""
+        import numpy as np
+        cfg = self.cfg
+        chunk = cfg.loop_chunk
+        ts, ts_prev, compute = schedule_arrays(self.scheduler, cfg)
+        n = cfg.num_inference_steps
+        m = -(-n // chunk) * chunk
+        pad = m - n
+        valid = jnp.concatenate([jnp.ones((n,), bool),
+                                 jnp.zeros((pad,), bool)])
+        ts = jnp.concatenate([ts, jnp.zeros((pad,), ts.dtype)])
+        ts_prev = jnp.concatenate([ts_prev, jnp.zeros((pad,),
+                                                      ts_prev.dtype)])
+        compute = jnp.concatenate([compute, jnp.zeros((pad,), bool)])
+        lat, cache = noise, jnp.zeros_like(noise)
+        for i in range(m // chunk):
+            s = slice(i * chunk, (i + 1) * chunk)
+            lat, cache = self._jit_loop(
+                self.denoiser_params, lat, cache, image_latents,
+                text_cond, text_uncond, ts[s], ts_prev[s], compute[s],
+                valid[s])
+        return lat
 
     def __call__(self, key: jax.Array, first_image: jnp.ndarray,
                  last_image: jnp.ndarray, text_cond: jnp.ndarray,
@@ -190,8 +271,13 @@ class InterpolationPipeline:
         noise, image_latents = prepare_interpolation_latents(
             key, first_lat, last_lat, cfg)
         if self._jit_loop is not None:
-            latents = self._jit_loop(self.denoiser_params, noise,
-                                     image_latents, text_cond, text_uncond)
+            if cfg.loop_chunk > 0:
+                latents = self._run_loop_chunked(noise, image_latents,
+                                                 text_cond, text_uncond)
+            else:
+                latents = self._jit_loop(self.denoiser_params, noise,
+                                         image_latents, text_cond,
+                                         text_uncond)
             if self.unload_loop_for_decode:
                 latents = jax.block_until_ready(latents)
                 self._jit_loop.clear_cache()

@@ -83,7 +83,11 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
     else:
         tcfg = TransformerConfig()
         vcfg = VAEConfig()
-        pcfg = PipelineConfig()
+        # loop_chunk: a 50-step 5.57B denoise is a ~5 min single device
+        # execution — past the tunneled backend's per-execution deadline
+        # (the worker faults). 10-step chunks run ~60 s each off ONE
+        # compiled executable; numerics identical (tests/test_cogvideox).
+        pcfg = PipelineConfig(loop_chunk=10)
         text_dim = 4096
     if pcfg_overrides:
         pcfg = dataclasses.replace(pcfg, **pcfg_overrides)

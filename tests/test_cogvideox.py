@@ -230,6 +230,48 @@ class TestPipeline:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+    def test_chunked_loop_matches_single_program(self):
+        """loop_chunk splits the schedule across jitted segments (the
+        full-scale tunnel-deadline path); must be bit-identical to the
+        single-scan loop, including a non-divisible chunk (padded
+        identity steps) and an active broadcast cache across chunk
+        boundaries."""
+        tcfg = TransformerConfig(num_layers=1, num_heads=2, head_dim=16,
+                                 in_channels=8, out_channels=4, patch_size=2,
+                                 text_embed_dim=8, time_embed_dim=16,
+                                 attn_dtype=jnp.float32)
+        model = CogVideoXTransformer(tcfg)
+        lat0 = jnp.zeros((2, 3, 8, 8, 12))
+        txt0 = jnp.zeros((2, 3, 8))
+        params = model.init(jax.random.PRNGKey(0), lat0, txt0,
+                            jnp.zeros((2,), jnp.int32))
+        denoiser = lambda p, x, text, t: model.apply(p, x, text, t)
+        vae_encode = lambda imgs: jnp.mean(
+            imgs.reshape(imgs.shape[0], imgs.shape[1], 3, 8, 2, 12, 2),
+            axis=(-3, -1))[:, :, :3].repeat(2, axis=2)[:, :, :4]
+        vae_decode = lambda lat: lat
+        rng = np.random.default_rng(9)
+        first = jnp.asarray(rng.uniform(-1, 1, (1, 3, 16, 24)), jnp.float32)
+        last = jnp.asarray(rng.uniform(-1, 1, (1, 3, 16, 24)), jnp.float32)
+        tc = jnp.asarray(rng.normal(size=(1, 3, 8)), jnp.float32)
+        tu = jnp.zeros((1, 3, 8))
+
+        outs = {}
+        for chunk in (0, 3):   # 7 steps / chunk 3 -> 3 segments, 2 padded
+            cfg = PipelineConfig(num_frames=9, height=16, width=24,
+                                 num_inference_steps=7, latent_channels=4,
+                                 vae_scale_factor_spatial=2,
+                                 vae_scale_factor_temporal=4,
+                                 vae_scaling_factor=1.0,
+                                 broadcast_interval=2, loop_chunk=chunk)
+            pipe = InterpolationPipeline(denoiser, vae_encode, vae_decode,
+                                         DDIMScheduler(), cfg,
+                                         denoiser_params=params)
+            outs[chunk] = np.asarray(pipe(jax.random.PRNGKey(5), first,
+                                          last, tc, tu))
+        np.testing.assert_array_equal(outs[0], outs[3])
+
+
 class TestOutputBroadcast:
     """Training-free output broadcast (PipelineConfig.broadcast_interval)."""
 
