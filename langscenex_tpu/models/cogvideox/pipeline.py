@@ -252,12 +252,24 @@ class InterpolationPipeline:
                                                       ts_prev.dtype)])
         compute = jnp.concatenate([compute, jnp.zeros((pad,), bool)])
         lat, cache = noise, jnp.zeros_like(noise)
+        import logging
+        import time
+        lg = logging.getLogger(__name__)
         for i in range(m // chunk):
             s = slice(i * chunk, (i + 1) * chunk)
+            t0 = time.perf_counter()
             lat, cache = self._jit_loop(
                 self.denoiser_params, lat, cache, image_latents,
                 text_cond, text_uncond, ts[s], ts_prev[s], compute[s],
                 valid[s])
+            # Sync between chunks: the chunking exists to keep each
+            # device execution under the tunnel's per-execution deadline;
+            # async dispatch would queue all chunks into one long busy
+            # window and defeat that. block_until_ready waits without a
+            # D2H transfer, so the cost is one RTT per chunk.
+            jax.block_until_ready(lat)
+            lg.info("denoise chunk %d/%d (%d steps): %.1fs", i + 1,
+                    m // chunk, chunk, time.perf_counter() - t0)
         return lat
 
     def __call__(self, key: jax.Array, first_image: jnp.ndarray,

@@ -120,37 +120,38 @@ def _budget_offsets(kept_tt: jnp.ndarray):
 
 
 def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
-                        grid_x, n_tiles, budget, cull=None):
+                        grid_x, n_tiles, budget, cull=None,
+                        extra_tiers=()):
     """Broadcast-enumerate pair (tile_key, depth_key, sid) streams.
 
     ``tt``/``rect_min``/``rect_w``/``depth``/``sid_base`` are per-splat
     arrays in the caller's chosen order (id order or depth-rank order);
     ``sid_base[p]`` is the value written into ``point_list``. Returns the
-    concatenated [P*K1 + B*K2] streams with budget-dropped / invalid
-    entries keyed to the ``n_tiles`` sentinel, the tier-2 overflow flag,
-    the true big-splat count, and the kept-pair demand (f32; None without
-    culling — callers then use the AABB demand). Pairs of splat p occupy
-    budget offsets [off[p], off[p]+kept[p]), so dropping `offset >=
-    budget` kills whole trailing splats with at most one mid-rect split —
-    the documented truncation policy (measured in post-cull pairs when
-    ``cull`` is given, so a budget sized to culled demand drops nothing).
+    concatenated [P*K1 + sum(B_i*K_i) + B*K2] streams with budget-dropped
+    / invalid entries keyed to the ``n_tiles`` sentinel, the tier
+    overflow flag, the true big-splat count, and the kept-pair demand
+    (f32; None without culling — callers then use the AABB demand).
+    Pairs of splat p occupy budget offsets [off[p], off[p]+kept[p]), so
+    dropping `offset >= budget` kills whole trailing splats with at most
+    one mid-rect split — the documented truncation policy (measured in
+    post-cull pairs when ``cull`` is given, so a budget sized to culled
+    demand drops nothing).
+
+    ``extra_tiers``: optional ((B_i, K_i), ...) mid tiers between tier 1
+    and the final catch-all tier — tier i enumerates tile slots
+    [S_i, S_i + K_i) (S_i = K1 + sum of earlier mid widths) for the
+    top-B_i splats by tile count. This shrinks the SORT DOMAIN (the
+    dominant forward cost, docs/KERNELS.md §12b) at small K1 without
+    truncating: a mid-sized splat no longer needs the [B, n_tiles - K1]
+    catch-all register, so K1 can drop below the tile-count tail.
+    Exact iff at most B_i splats exceed S_i tiles for every tier
+    (``k_overflowed`` reports any violation). The final (B, K2) tier
+    keeps the full-grid catch-all semantics.
 
     ``cull``: optional :class:`CullSpec` with per-splat rows ALREADY in
     the caller's order; enables the exact per-tile conic cull."""
     P = tt.shape[0]
-    if B > 0 and K2 > 0:
-        # B largest splats get their k >= K1 overflow tiles in tier 2
-        big_tt, big_idx = jax.lax.top_k(tt, B)
-        captured = big_tt > K1                       # [B]
-        cap_per_splat = jnp.zeros((P,), bool).at[big_idx].set(
-            captured, mode='drop')
-        n_big = jnp.sum((tt > K1).astype(jnp.int32))
-        k_overflowed = n_big > B
-    else:
-        big_idx = None
-        cap_per_splat = jnp.zeros((P,), bool)
-        n_big = jnp.sum((tt > K1).astype(jnp.int32))
-        k_overflowed = n_big > 0 if K2 > 0 else jnp.zeros((), bool)
+    n_big = jnp.sum((tt > K1).astype(jnp.int32))
 
     def tile_xy(rm, rw, kk):
         kx = kk % rw[:, None]
@@ -169,6 +170,12 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
                           lx, hx, ly, hy)
         return qmin <= qmax[:, None]
 
+    if cull is not None:
+        cl = (cull.mean2d[:, 0], cull.mean2d[:, 1], cull.conic[:, 0],
+              cull.conic[:, 1], cull.conic[:, 2], cull.qmax)
+    else:
+        cl = None
+
     # ---- tier 1: first K1 tiles of every splat ----------------------
     k = jnp.arange(K1, dtype=jnp.int32)
     tx1, ty1 = tile_xy(rect_min, rect_w, k[None, :])
@@ -176,8 +183,6 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
     in_rect1 = k[None, :] < tt[:, None]
 
     if cull is not None:
-        cl = (cull.mean2d[:, 0], cull.mean2d[:, 1], cull.conic[:, 0],
-              cull.conic[:, 1], cull.conic[:, 2], cull.qmax)
         keep1 = in_rect1 & cull_keep(cl, tx1, ty1)   # [P, K1]
         k1i = keep1.astype(jnp.int32)
         rank1 = jnp.cumsum(k1i, axis=1) - k1i        # exclusive in-splat rank
@@ -187,36 +192,80 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
         rank1 = jnp.broadcast_to(k[None, :], (P, K1))
         ctt1 = jnp.minimum(tt, K1)
 
-    if B > 0 and K2 > 0:
-        # ---- tier 2: overflow tiles (k in [K1, tt)) of the captured --
-        rw2 = rect_w[big_idx]
-        rm2 = rect_min[big_idx]
-        k2 = K1 + jnp.arange(K2, dtype=jnp.int32)    # [K2]
-        tx2, ty2 = tile_xy(rm2, rw2, k2[None, :])
-        tile_id2 = ty2 * grid_x + tx2                # [B, K2]
-        in_rect2 = captured[:, None] & (k2[None, :] < big_tt[:, None])
+    # ---- mid tiers + final catch-all: one shared top_k --------------
+    # tier list: (B_i, slot start S_i, width K_i); catch-all last
+    specs = []
+    start = K1
+    for (Bi, Ki) in extra_tiers:
+        Bi = min(Bi, P)
+        Ki = min(Ki, max(n_tiles - start, 0))
+        if Bi > 0 and Ki > 0:
+            specs.append((Bi, start, Ki))
+        start += Ki
+    K2_eff = min(K2, max(n_tiles - start, 0))
+    if B > 0 and K2_eff > 0:
+        specs.append((min(B, P), start, K2_eff))
+
+    if not specs:
+        k_overflowed = (n_big > 0 if K2 > 0 or extra_tiers
+                        else jnp.zeros((), bool))
+        demand_f = (jnp.sum(ctt1.astype(jnp.float32))
+                    if cull is not None else None)
+        off = _budget_offsets(ctt1 if cull is not None
+                              else jnp.minimum(tt, K1))
+        valid1 = keep1 & (off[:, None] + rank1 < budget)
+        key_tile1 = jnp.where(valid1, tile_id1, n_tiles).reshape(-1)
+        key_depth1 = jnp.broadcast_to(depth[:, None], (P, K1)).reshape(-1)
+        sid1 = jnp.where(valid1, sid_base[:, None], P).reshape(-1)
+        return (key_tile1.astype(jnp.int32), key_depth1, sid1,
+                k_overflowed, n_big, demand_f)
+
+    B_max = max(s[0] for s in specs)
+    top_tt, top_idx = jax.lax.top_k(tt, B_max)       # shared, descending
+
+    # exactness: every splat with tt > S_i must fit tier i's register
+    k_overflowed = jnp.zeros((), bool)
+    for (Bi, Si, Ki) in specs:
+        k_overflowed |= jnp.sum((tt > Si).astype(jnp.int32)) > Bi
+
+    # running kept-count per splat (in-splat rank base for later tiers)
+    ctt_run = ctt1
+    # running per-splat coverage for the no-cull kept computation
+    cov_run = jnp.minimum(tt, K1)
+
+    tiers_out = []                                   # (keep, rank, idx, ...)
+    for (Bi, Si, Ki) in specs:
+        big_tt = top_tt[:Bi]
+        big_idx = top_idx[:Bi]
+        captured = big_tt > Si                       # [Bi]
+        rw_i = rect_w[big_idx]
+        rm_i = rect_min[big_idx]
+        ki = Si + jnp.arange(Ki, dtype=jnp.int32)    # [Ki]
+        tx_i, ty_i = tile_xy(rm_i, rw_i, ki[None, :])
+        tile_id_i = ty_i * grid_x + tx_i             # [Bi, Ki]
+        in_rect_i = captured[:, None] & (ki[None, :] < big_tt[:, None])
         if cull is not None:
-            cl2 = tuple(v[big_idx] for v in cl)
-            keep2 = in_rect2 & cull_keep(cl2, tx2, ty2)
-            k2i = keep2.astype(jnp.int32)
-            rank2 = ctt1[big_idx][:, None] + jnp.cumsum(k2i, axis=1) - k2i
-            ctt2 = jnp.sum(k2i, axis=1)              # [B]
+            cl_i = tuple(v[big_idx] for v in cl)
+            keep_i = in_rect_i & cull_keep(cl_i, tx_i, ty_i)
+            kii = keep_i.astype(jnp.int32)
+            rank_i = ctt_run[big_idx][:, None] + jnp.cumsum(kii, axis=1) - kii
+            ctt_i = jnp.sum(kii, axis=1)             # [Bi]
+            ctt_run = ctt_run.at[big_idx].add(
+                jnp.where(captured, ctt_i, 0), mode='drop')
         else:
-            keep2 = in_rect2
-            rank2 = jnp.broadcast_to(k2[None, :], (B, K2))
-            ctt2 = jnp.where(captured, big_tt - K1, 0)
-    else:
-        keep2 = None
+            keep_i = in_rect_i
+            rank_i = jnp.broadcast_to(ki[None, :], (Bi, Ki))
+            cov_i = jnp.where(captured,
+                              jnp.clip(big_tt - Si, 0, Ki), 0)
+            cov_run = cov_run.at[big_idx].add(cov_i, mode='drop')
+        tiers_out.append((keep_i, rank_i, big_idx, tile_id_i, Bi, Ki))
 
     # per-splat kept counts -> budget offsets (whole-splat truncation)
     if cull is not None:
-        kept = ctt1
-        if keep2 is not None:
-            kept = kept.at[big_idx].add(jnp.where(captured, ctt2, 0),
-                                        mode='drop')
+        kept = ctt_run
         demand_f = jnp.sum(kept.astype(jnp.float32))
     else:
-        kept = jnp.where(cap_per_splat, tt, jnp.minimum(tt, K1))
+        kept = cov_run
         demand_f = None
     off = _budget_offsets(kept)                      # [P] f32
 
@@ -227,22 +276,27 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
     # which callers slice off). Valid pairs are unaffected; the aligned
     # path never reads beyond per-tile counts either way.
     valid1 = keep1 & (off[:, None] + rank1 < budget)
-    key_tile1 = jnp.where(valid1, tile_id1, n_tiles).reshape(-1)
-    key_depth1 = jnp.broadcast_to(depth[:, None], (P, K1)).reshape(-1)
-    sid1 = jnp.where(valid1, sid_base[:, None], P).reshape(-1)
+    key_tiles = [jnp.where(valid1, tile_id1, n_tiles).reshape(-1)]
+    key_depths = [jnp.broadcast_to(depth[:, None], (P, K1)).reshape(-1)]
+    sids = [jnp.where(valid1, sid_base[:, None], P).reshape(-1)]
 
-    if keep2 is None:
-        return (key_tile1.astype(jnp.int32), key_depth1, sid1,
-                k_overflowed, n_big, demand_f)
+    for (keep_i, rank_i, big_idx, tile_id_i, Bi, Ki) in tiers_out:
+        # no-cull rank_i is the global slot index k — exactly the
+        # in-splat rank whenever the splat's lower tiers all captured
+        # it, which non-overflow guarantees (tt > S_i > S_j implies
+        # membership in every smaller-threshold register's top-B_j as
+        # long as that register did not overflow; overflow is flagged
+        # and budget-dropping merely turns conservative).
+        valid_i = keep_i & (off[big_idx][:, None] + rank_i < budget)
+        key_tiles.append(jnp.where(valid_i, tile_id_i, n_tiles).reshape(-1))
+        key_depths.append(jnp.broadcast_to(
+            depth[big_idx][:, None], (Bi, Ki)).reshape(-1))
+        sids.append(jnp.where(valid_i, sid_base[big_idx][:, None],
+                              P).reshape(-1))
 
-    valid2 = keep2 & (off[big_idx][:, None] + rank2 < budget)
-    key_tile2 = jnp.where(valid2, tile_id2, n_tiles).reshape(-1)
-    key_depth2 = jnp.broadcast_to(depth[big_idx][:, None], (B, K2)).reshape(-1)
-    sid2 = jnp.where(valid2, sid_base[big_idx][:, None], P).reshape(-1)
-
-    return (jnp.concatenate([key_tile1, key_tile2]).astype(jnp.int32),
-            jnp.concatenate([key_depth1, key_depth2]),
-            jnp.concatenate([sid1, sid2]),
+    return (jnp.concatenate(key_tiles).astype(jnp.int32),
+            jnp.concatenate(key_depths),
+            jnp.concatenate(sids),
             k_overflowed, n_big, demand_f)
 
 
@@ -273,7 +327,9 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      max_tiles_per_splat: int = 32,
                      max_pairs: int | None = None,
                      big_splats: int = 256,
-                     cull: CullSpec | None = None) -> TileLists:
+                     cull: CullSpec | None = None,
+                     extra_tiers: tuple = (),
+                     rank_key: bool = False) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
     ``max_tiles_per_splat`` (K1) sizes the tier-1 enumeration;
@@ -285,6 +341,19 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     ``num_pairs`` is the true demand so adaptive growth can jump
     straight to it. ``cull`` enables the exact per-tile conic cull
     (CullSpec docstring); demand/overflow are then measured post-cull.
+
+    ``extra_tiers``: ((B_i, K_i), ...) mid tiers between tier 1 and the
+    catch-all (see _enumerate_two_tier) — lets K1 shrink (smaller sort
+    domain) while staying exact on tile-count tails the two-tier layout
+    could only truncate or pay [B, n_tiles-K1] for.
+
+    ``rank_key``: sort ONE packed int32 key (tile in the high bits,
+    per-splat DEPTH RANK in the low 22) + the sid payload instead of the
+    2-key 3-stream (tile, f32 depth, sid) sort. The rank is computed in
+    ID order (one [P] argsort + inverse scatter — no payload or
+    enumeration permutes, unlike depth_presort), so pair order matches
+    (tile, depth) with deterministic tie-breaking by depth rank.
+    Auto-falls back when (n_tiles+1) << 22 | rank would overflow int32.
     """
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
@@ -298,12 +367,36 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
     sid_base = jnp.arange(P, dtype=jnp.int32)
 
+    use_rank = (rank_key and P < (1 << 22)
+                and (n_tiles + 1) * (1 << 22) + P < 2 ** 31)
+    if use_rank:
+        # rank_of_id[p] = depth rank of splat p, in ID order: one [P]
+        # sort + inverse scatter; culled splats (tt == 0) sink last so
+        # real ranks stay dense (irrelevant to order — their pairs are
+        # sentinel-keyed anyway).
+        dkey = jnp.where(tt > 0, depth, jnp.inf)
+        _, perm = jax.lax.sort((dkey, sid_base), num_keys=1)
+        rank_of_id = jnp.zeros((P,), jnp.int32).at[perm].set(sid_base)
+        depth_key = rank_of_id                          # int32 [P]
+    else:
+        depth_key = depth
+
     (key_tile, key_depth, sid, k_overflowed, num_big,
      demand_f) = _enumerate_two_tier(
-        tt, proc.rect_min, rect_w, depth, sid_base, K1, K2, B,
-        grid_x, n_tiles, budget, cull=cull)
-    point_list, tile_starts, tile_counts = _finish(
-        key_tile, key_depth, sid, n_tiles, max_pairs)
+        tt, proc.rect_min, rect_w, depth_key, sid_base, K1, K2, B,
+        grid_x, n_tiles, budget, cull=cull, extra_tiers=extra_tiers)
+    if use_rank:
+        # invalid pairs carry (n_tiles, real rank) — still sorts after
+        # every valid pair since tile occupies the high bits
+        key = key_tile * (1 << 22) + key_depth
+        sorted_key, point_list = jax.lax.sort((key, sid), num_keys=1)
+        if max_pairs is not None and max_pairs < sorted_key.shape[0]:
+            sorted_key = sorted_key[:max_pairs]
+            point_list = point_list[:max_pairs]
+        tile_starts, tile_counts = _tile_ranges(sorted_key >> 22, n_tiles)
+    else:
+        point_list, tile_starts, tile_counts = _finish(
+            key_tile, key_depth, sid, n_tiles, max_pairs)
 
     if demand_f is None:
         num_pairs, overflowed = _demand(tt, budget)

@@ -96,6 +96,23 @@ class RasterConfig:
     # forward line (KERNELS.md §12). Exact same order; auto-falls back
     # when tile*2^22+rank would overflow int32.
     packed_sort: bool = False
+    # Mid enumeration tiers ((B_i, K_i), ...) between tier 1 and the
+    # catch-all (binning._enumerate_two_tier): shrink the SORT DOMAIN by
+    # lowering max_tiles_per_splat while keeping the build exact — each
+    # mid tier enumerates K_i more tile slots for its top-B_i splats, so
+    # the tile-count tail no longer needs either a fat K1 or the
+    # [B, n_tiles-K1] catch-all. k_overflowed still reports any register
+    # exhaustion. () = the r1-r3 two-tier layout, unchanged.
+    extra_tiers: tuple = ()
+    # Sort ONE packed int32 key (tile << 22 | per-splat depth rank) + sid
+    # instead of the 2-key 3-stream (tile, depth, sid) sort. The rank is
+    # computed in ID order (a [P] argsort + inverse scatter) so NOTHING
+    # else is permuted — unlike depth_presort, which permuted every
+    # enumeration and payload input and lost the id-order staging fusion
+    # (KERNELS.md §12, 29.6 ms). Order is identical up to deterministic
+    # depth-rank tie-breaking. Auto-falls back past 2^22 splats / 2^9
+    # tiles.
+    rank_key_sort: bool = False
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -282,7 +299,9 @@ def rasterize(
         lists = build_tile_lists(proc, grid_x, grid_y,
                                  cfg.max_tiles_per_splat,
                                  max_pairs=cfg.max_pairs,
-                                 big_splats=cfg.big_splats, cull=cull)
+                                 big_splats=cfg.big_splats, cull=cull,
+                                 extra_tiers=cfg.extra_tiers,
+                                 rank_key=cfg.rank_key_sort)
 
     parts = [proc.rgb]
     if language_feature is not None:

@@ -202,6 +202,11 @@ def main(argv=None) -> int:
                    help="VAE spatial tile size in latent px (16 = 128px "
                         "output tiles; 32 crashes the v5e worker with "
                         "the full DiT resident)")
+    p.add_argument("--loop_chunk", type=int, default=None,
+                   help="denoise steps per device execution (full-scale "
+                        "default 10); smaller chunks stay further under "
+                        "the tunnel's per-execution deadline at the cost "
+                        "of one dispatch RTT per chunk")
     p.add_argument("--broadcast_interval", type=int, default=1,
                    help="training-free DiT output broadcast: >1 reuses "
                         "the guided noise prediction for this many steps "
@@ -214,6 +219,8 @@ def main(argv=None) -> int:
     if not args.tiny:
         # tiny mode pins its own 4-step schedule
         overrides["num_inference_steps"] = args.num_inference_steps
+        if args.loop_chunk is not None:
+            overrides["loop_chunk"] = args.loop_chunk
     pipe, text, pcfg, aux = build_pipeline(
         args.checkpoint, args.t5, args.tiny, pcfg_overrides=overrides,
         zero_weights=args.zero_weights, decode_tile=args.decode_tile)

@@ -627,3 +627,112 @@ class TestPackedSort:
                                           np.asarray(b.tile_starts))
             np.testing.assert_array_equal(np.asarray(a.tile_counts),
                                           np.asarray(b.tile_counts))
+
+
+class TestMultiTierAndRankKey:
+    """Round-4 binning options: mid enumeration tiers (small K1, exact)
+    and the id-order rank-packed single-key sort."""
+
+    def _scene(self, P=600, seed=11):
+        rng = np.random.default_rng(seed)
+        means = np.stack([rng.uniform(-2, 2, P), rng.uniform(-1, 1, P),
+                          rng.uniform(2, 9, P)], -1).astype(np.float32)
+        # heavy-tailed scales: most splats small, a tail of mid/large
+        # ones exercising every tier
+        ls = rng.uniform(-4.0, -2.0, (P, 3))
+        big = rng.random(P) < 0.08
+        ls[big] += rng.uniform(1.0, 2.5, (int(big.sum()), 1))
+        scales = np.exp(ls).astype(np.float32)
+        quats = rng.normal(size=(P, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        opacity = rng.uniform(0.2, 0.95, P).astype(np.float32)
+        colors = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+        return means, scales, quats, opacity, colors
+
+    def _proc(self, cam, means, scales, quats, colors):
+        return preprocess(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), cam,
+                          colors_precomp=jnp.asarray(colors),
+                          tile_w=16, tile_h=8)
+
+    def test_extra_tiers_match_fat_k1(self):
+        """K1=4 + mid tiers must reproduce the exact fat-K1 build:
+        same per-tile sets, same depth order, no overflow."""
+        cam = make_camera(W=128, H=64)
+        means, scales, quats, opacity, colors = self._scene()
+        proc = self._proc(cam, means, scales, quats, colors)
+        gx, gy = 8, 8
+        ref = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64,
+                               big_splats=64)
+        assert not bool(ref.k_overflowed)
+        out = build_tile_lists(proc, gx, gy, max_tiles_per_splat=4,
+                               big_splats=64,
+                               extra_tiers=((256, 12), (128, 16)))
+        assert not bool(out.k_overflowed)
+        assert int(out.num_pairs) == int(ref.num_pairs)
+        rs, rc = np.asarray(ref.tile_starts), np.asarray(ref.tile_counts)
+        os_, oc = np.asarray(out.tile_starts), np.asarray(out.tile_counts)
+        np.testing.assert_array_equal(rc, oc)
+        rp, op = np.asarray(ref.point_list), np.asarray(out.point_list)
+        depth = np.asarray(proc.depth)
+        for t in range(gx * gy):
+            a = rp[rs[t]:rs[t] + rc[t]]
+            b = op[os_[t]:os_[t] + oc[t]]
+            assert set(a.tolist()) == set(b.tolist()), f"tile {t}"
+            assert np.all(np.diff(depth[b]) >= 0), f"tile {t} order"
+
+    def test_extra_tiers_overflow_flag(self):
+        """An undersized mid tier must raise k_overflowed."""
+        cam = make_camera(W=128, H=64)
+        means, scales, quats, opacity, colors = self._scene()
+        proc = self._proc(cam, means, scales, quats, colors)
+        gx, gy = 8, 8
+        out = build_tile_lists(proc, gx, gy, max_tiles_per_splat=2,
+                               big_splats=1, extra_tiers=((1, 8),))
+        assert bool(out.k_overflowed)
+
+    def test_rank_key_matches_two_key(self):
+        """rank_key single-key sort == (tile, depth) 2-key sort when
+        depths are distinct (rank order == depth order)."""
+        cam = make_camera(W=128, H=64)
+        means, scales, quats, opacity, colors = self._scene(seed=23)
+        proc = self._proc(cam, means, scales, quats, colors)
+        gx, gy = 8, 8
+        for mp in (None, 700):
+            a = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64,
+                                 big_splats=64, max_pairs=mp)
+            b = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64,
+                                 big_splats=64, max_pairs=mp,
+                                 rank_key=True)
+            np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                          np.asarray(b.tile_starts))
+            np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                          np.asarray(b.tile_counts))
+            # same per-tile sets in the same depth order (ties broken
+            # deterministically by rank; this scene has distinct depths)
+            np.testing.assert_array_equal(np.asarray(a.point_list),
+                                          np.asarray(b.point_list))
+
+    def test_render_identical_with_tiers_and_rank_key(self):
+        """Full rasterize: tiers + rank_key + cull must be bit-identical
+        to the baseline config (XLA blend path, CPU)."""
+        cam = make_camera(W=128, H=64)
+        means, scales, quats, opacity, colors = self._scene(seed=5)
+        base = RasterConfig(tile_w=16, tile_h=8, max_tiles_per_splat=64,
+                            chunk=16, max_splats_per_tile=256,
+                            big_splats=64)
+        tiered = RasterConfig(tile_w=16, tile_h=8, max_tiles_per_splat=4,
+                              chunk=16, max_splats_per_tile=256,
+                              big_splats=64,
+                              extra_tiers=((256, 12), (128, 16)),
+                              rank_key_sort=True)
+        args = (jnp.asarray(means), jnp.asarray(scales),
+                jnp.asarray(quats), jnp.asarray(opacity)[:, None], cam,
+                jnp.zeros(3))
+        o1 = rasterize(*args, colors_precomp=jnp.asarray(colors), cfg=base)
+        o2 = rasterize(*args, colors_precomp=jnp.asarray(colors),
+                       cfg=tiered)
+        np.testing.assert_array_equal(np.asarray(o1.color),
+                                      np.asarray(o2.color))
+        np.testing.assert_array_equal(np.asarray(o1.final_T),
+                                      np.asarray(o2.final_T))
