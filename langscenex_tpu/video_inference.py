@@ -83,11 +83,14 @@ def build_pipeline(checkpoint: str | None, t5_path: str | None,
     else:
         tcfg = TransformerConfig()
         vcfg = VAEConfig()
-        # loop_chunk: a 50-step 5.57B denoise is a ~5 min single device
+        # loop_chunk: a 50-step 5.57B denoise is one multi-minute device
         # execution — past the tunneled backend's per-execution deadline
-        # (the worker faults). 10-step chunks run ~60 s each off ONE
-        # compiled executable; numerics identical (tests/test_cogvideox).
-        pcfg = PipelineConfig(loop_chunk=10)
+        # (the worker faults). Measured round 4: 10-step chunks STILL
+        # fault (~61 s/execution sits at the deadline); 5-step chunks
+        # (~87 s incl. dispatch at the measured 17.4 s/step loop rate)
+        # complete — the first full-scale end-to-end run used them.
+        # Numerics identical to the unchunked loop (tests/test_cogvideox).
+        pcfg = PipelineConfig(loop_chunk=5)
         text_dim = 4096
     if pcfg_overrides:
         pcfg = dataclasses.replace(pcfg, **pcfg_overrides)
