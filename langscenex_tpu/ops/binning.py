@@ -221,7 +221,14 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
                 k_overflowed, n_big, demand_f)
 
     B_max = max(s[0] for s in specs)
-    top_tt, top_idx = jax.lax.top_k(tt, B_max)       # shared, descending
+    if B_max <= 1024:
+        top_tt, top_idx = jax.lax.top_k(tt, B_max)   # shared, descending
+    else:
+        # large-register top_k is ~6 ms at B=40k/P=100k on v5e (device
+        # A/B ab_sortdomain2) while a full [P] variadic sort is ~0.5 ms
+        # (same engine the rank_key depth argsort rides)
+        stt, sidx = jax.lax.sort((-tt, sid_base), num_keys=1)
+        top_tt, top_idx = -stt[:B_max], sidx[:B_max]
 
     # exactness: every splat with tt > S_i must fit tier i's register
     k_overflowed = jnp.zeros((), bool)
@@ -329,7 +336,8 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      big_splats: int = 256,
                      cull: CullSpec | None = None,
                      extra_tiers: tuple = (),
-                     rank_key: bool = False) -> TileLists:
+                     rank_key: bool = False,
+                     key_only: bool = False) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
     ``max_tiles_per_splat`` (K1) sizes the tier-1 enumeration;
@@ -354,6 +362,13 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     enumeration permutes, unlike depth_presort), so pair order matches
     (tile, depth) with deterministic tie-breaking by depth rank.
     Auto-falls back when (n_tiles+1) << 22 | rank would overflow int32.
+
+    ``key_only`` (requires ``rank_key``): sort ONLY the packed key — a
+    1-operand sort, half the stream traffic of rank_key's (key, sid)
+    pair — and RECOVER the sid payload after truncation: the rank bits
+    index the depth argsort permutation (``sid = perm[rank]``), one
+    [max_pairs]-sized gather from a [P] table instead of a full payload
+    stream through the multi-pass sort merge. Bit-identical lists.
     """
     n_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
@@ -389,10 +404,24 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
         # invalid pairs carry (n_tiles, real rank) — still sorts after
         # every valid pair since tile occupies the high bits
         key = key_tile * (1 << 22) + key_depth
-        sorted_key, point_list = jax.lax.sort((key, sid), num_keys=1)
-        if max_pairs is not None and max_pairs < sorted_key.shape[0]:
-            sorted_key = sorted_key[:max_pairs]
-            point_list = point_list[:max_pairs]
+        if key_only:
+            # 1-operand sort; sid recovered from the rank bits post-
+            # truncation (rank bits are always a REAL splat's rank, so
+            # perm[rank] is in-bounds; the sentinel is restored from the
+            # tile bits). Saves a full [A] payload stream through the
+            # sort's multi-pass merge.
+            sorted_key = jax.lax.sort(key)
+            if max_pairs is not None and max_pairs < sorted_key.shape[0]:
+                sorted_key = sorted_key[:max_pairs]
+            tile_sorted = sorted_key >> 22
+            rank = sorted_key & ((1 << 22) - 1)
+            point_list = jnp.where(tile_sorted < n_tiles, perm[rank],
+                                   jnp.int32(P))
+        else:
+            sorted_key, point_list = jax.lax.sort((key, sid), num_keys=1)
+            if max_pairs is not None and max_pairs < sorted_key.shape[0]:
+                sorted_key = sorted_key[:max_pairs]
+                point_list = point_list[:max_pairs]
         tile_starts, tile_counts = _tile_ranges(sorted_key >> 22, n_tiles)
     else:
         point_list, tile_starts, tile_counts = _finish(

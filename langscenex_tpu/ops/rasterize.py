@@ -113,6 +113,12 @@ class RasterConfig:
     # depth-rank tie-breaking. Auto-falls back past 2^22 splats / 2^9
     # tiles.
     rank_key_sort: bool = False
+    # With rank_key_sort: sort ONLY the packed key (1-operand sort) and
+    # recover the sid payload from the rank bits after truncation via
+    # one [max_pairs] gather from the depth-argsort table — half the
+    # rank-key sort's stream traffic, bit-identical lists
+    # (binning.build_tile_lists ``key_only``).
+    key_only_sort: bool = False
 
     def resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -301,7 +307,8 @@ def rasterize(
                                  max_pairs=cfg.max_pairs,
                                  big_splats=cfg.big_splats, cull=cull,
                                  extra_tiers=cfg.extra_tiers,
-                                 rank_key=cfg.rank_key_sort)
+                                 rank_key=cfg.rank_key_sort,
+                                 key_only=cfg.key_only_sort)
 
     parts = [proc.rgb]
     if language_feature is not None:

@@ -713,6 +713,40 @@ class TestMultiTierAndRankKey:
             np.testing.assert_array_equal(np.asarray(a.point_list),
                                           np.asarray(b.point_list))
 
+    def test_key_only_matches_rank_key(self):
+        """key_only (1-operand sort + sid recovered from the rank bits)
+        must reproduce rank_key's lists EXACTLY, including the sid
+        sentinel P on invalid/truncated slots."""
+        cam = make_camera(W=128, H=64)
+        means, scales, quats, opacity, colors = self._scene(seed=31)
+        proc = self._proc(cam, means, scales, quats, colors)
+        gx, gy = 8, 8
+        P = means.shape[0]
+        for mp in (None, 700):
+            for tiers in ((), ((256, 12), (128, 16))):
+                k1 = 64 if not tiers else 4
+                a = build_tile_lists(proc, gx, gy, max_tiles_per_splat=k1,
+                                     big_splats=64, max_pairs=mp,
+                                     extra_tiers=tiers, rank_key=True)
+                b = build_tile_lists(proc, gx, gy, max_tiles_per_splat=k1,
+                                     big_splats=64, max_pairs=mp,
+                                     extra_tiers=tiers, rank_key=True,
+                                     key_only=True)
+                np.testing.assert_array_equal(np.asarray(a.point_list),
+                                              np.asarray(b.point_list))
+                np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                              np.asarray(b.tile_starts))
+                np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                              np.asarray(b.tile_counts))
+                # sentinel preserved: slots outside every tile range are P
+                pl = np.asarray(b.point_list)
+                covered = np.zeros(pl.shape[0], bool)
+                st = np.asarray(b.tile_starts)
+                ct = np.asarray(b.tile_counts)
+                for t in range(gx * gy):
+                    covered[st[t]:st[t] + ct[t]] = True
+                assert np.all(pl[covered] < P)
+
     def test_render_identical_with_tiers_and_rank_key(self):
         """Full rasterize: tiers + rank_key + cull must be bit-identical
         to the baseline config (XLA blend path, CPU)."""
