@@ -102,13 +102,17 @@ def _tpu_reachable(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def bench_render() -> float:
-    """Render FPS via __graft_entry__.entry(), scan-chained."""
+def bench_render(variant: str = "exact") -> float:
+    """Render FPS via __graft_entry__.entry(), scan-chained.
+
+    variant "exact" is the headline (k_overflowed=False, bit-exact lists
+    on the adversarial bench cloud); "fast" is the labeled truncating
+    config (entry() docstring / KERNELS.md §14)."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import entry
 
-    fn, args = entry()
+    fn, args = entry(variant)
 
     # Chain iterations through a scalar data dependency so the device
     # executes them sequentially with ONE final fetch: per-iteration
@@ -293,6 +297,13 @@ def main():
 
     fps_rec = run("3dgs_render_fps_100k_720x480", bench_render, "fps",
                   "high", A100_NOMINAL_FPS)
+    fps_rec["exactness"] = "exact (k_overflowed=False, rank-key sort)"
+    fast_rec = run("3dgs_render_fps_truncating_cfg",
+                   lambda: bench_render("fast"), "fps", "high",
+                   A100_NOMINAL_FPS)
+    fast_rec["exactness"] = ("truncates big-splat tail on this "
+                            "adversarial scene (28.7 dB vs exact)")
+    extra.append(fast_rec)
     if os.environ.get("LSX_BENCH_RENDER_ONLY") != "1":
         extra.append(run("dit_denoise_s_per_step_b2",
                          lambda: bench_dit(platform), "s/step", "low",

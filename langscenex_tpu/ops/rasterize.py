@@ -111,8 +111,9 @@ class RasterConfig:
     # enumeration and payload input and lost the id-order staging fusion
     # (KERNELS.md §12, 29.6 ms). Order is identical up to deterministic
     # depth-rank tie-breaking. Auto-falls back past 2^22 splats / 2^9
-    # tiles.
-    rank_key_sort: bool = False
+    # tiles. DEFAULT ON since round 4: bit-identical lists, -0.6 ms on
+    # the bench forward (KERNELS.md §14).
+    rank_key_sort: bool = True
     # With rank_key_sort: sort ONLY the packed key (1-operand sort) and
     # recover the sid payload from the rank bits after truncation via
     # one [max_pairs] gather from the depth-argsort table — half the

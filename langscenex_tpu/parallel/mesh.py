@@ -60,7 +60,7 @@ def replicate_tree(tree, mesh: Mesh):
 # hidden dimension rides 'model'. GSPMD propagates the matching weight
 # shardings and inserts the ICI collectives.
 DIT_LOGICAL_RULES = (("batch", "data"), ("embed", "model"),
-                     ("mlp", "model"))
+                     ("mlp", "model"), ("qkv", "model"))
 
 
 def dit_sharded_apply(model, mesh: Mesh):

@@ -30,6 +30,7 @@ class LoRAConfig:
     # default: attention projections + MLP, the CogVideoX-style targets
     target_patterns: Tuple[str, ...] = (
         r".*attn/to_q$", r".*attn/to_k$", r".*attn/to_v$",
+        r".*attn/to_qkv$",
         r".*attn/to_out$", r".*ff/fc1$", r".*ff/fc2$")
     init_scale: float = 0.01
 

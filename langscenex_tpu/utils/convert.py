@@ -100,7 +100,9 @@ def convert_lpips_vgg(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params}
 
 
-def convert_cogvideox_dit(sd: Dict[str, np.ndarray]) -> Dict:
+def convert_cogvideox_dit(sd: Dict[str, np.ndarray],
+                          fuse_qkv: bool = True,
+                          head_dim: int = 64) -> Dict:
     """diffusers CogVideoXTransformer3DModel state_dict -> flax params for
     models/cogvideox/transformer.CogVideoXTransformer.
 
@@ -111,6 +113,12 @@ def convert_cogvideox_dit(sd: Dict[str, np.ndarray]) -> Dict:
 
     proj_out rows are reordered: torch unpatchify emits (c, ph, pw) per
     token, ours emits (ph, pw, c).
+
+    ``fuse_qkv`` (default — matches TransformerConfig.fuse_qkv): the
+    separate torch to_q/to_k/to_v weights are interleaved PER HEAD into
+    one ``to_qkv`` kernel [hidden, heads*3*head_dim] with column order
+    [head h: q(head_dim) k(head_dim) v(head_dim)] — the layout the fused
+    projection slices shard-locally under tensor parallelism.
     """
     p = {}
     p["patch_embed"] = t2f_conv(sd["patch_embed.proj.weight"],
@@ -136,9 +144,25 @@ def convert_cogvideox_dit(sd: Dict[str, np.ndarray]) -> Dict:
                                       sd[f"{b}.{theirs}.norm.bias"]),
             }
         attn = {}
-        for proj in ("to_q", "to_k", "to_v"):
-            attn[proj] = t2f_linear(sd[f"{b}.attn1.{proj}.weight"],
-                                    sd[f"{b}.attn1.{proj}.bias"])
+        if fuse_qkv:
+            ws, bs = [], []
+            for proj in ("to_q", "to_k", "to_v"):
+                lin = t2f_linear(sd[f"{b}.attn1.{proj}.weight"],
+                                 sd[f"{b}.attn1.{proj}.bias"])
+                ws.append(lin["kernel"])          # [H_in, H_out]
+                bs.append(lin["bias"])
+            h_in, h_out = ws[0].shape
+            nh = h_out // head_dim
+            # [H_in, nh, 3, head_dim] -> [H_in, nh*3*head_dim]
+            k3 = np.stack([w.reshape(h_in, nh, head_dim) for w in ws],
+                          axis=2).reshape(h_in, nh * 3 * head_dim)
+            b3 = np.stack([v.reshape(nh, head_dim) for v in bs],
+                          axis=1).reshape(nh * 3 * head_dim)
+            attn["to_qkv"] = {"kernel": k3, "bias": b3}
+        else:
+            for proj in ("to_q", "to_k", "to_v"):
+                attn[proj] = t2f_linear(sd[f"{b}.attn1.{proj}.weight"],
+                                        sd[f"{b}.attn1.{proj}.bias"])
         attn["to_out"] = t2f_linear(sd[f"{b}.attn1.to_out.0.weight"],
                                     sd[f"{b}.attn1.to_out.0.bias"])
         for qk in ("norm_q", "norm_k"):

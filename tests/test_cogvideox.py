@@ -37,6 +37,51 @@ class TestTransformer:
         assert out.shape == (2, 3, 4, 8, 12)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_fused_qkv_matches_separate(self):
+        """fuse_qkv=True with per-head-interleaved weights must equal the
+        separate to_q/to_k/to_v model to float tolerance (same math, one
+        matmul)."""
+        import dataclasses
+        cfg_sep = dataclasses.replace(TINY, fuse_qkv=False)
+        cfg_fused = dataclasses.replace(TINY, fuse_qkv=True)
+        m_sep = CogVideoXTransformer(cfg_sep)
+        m_fused = CogVideoXTransformer(cfg_fused)
+        rng = np.random.default_rng(7)
+        lat = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 12)).astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(1, 5, 16)).astype(np.float32))
+        t = jnp.array([250], jnp.int32)
+        params = m_sep.init(jax.random.PRNGKey(3), lat, txt, t)
+
+        def interleave(attn):
+            nh, hd = cfg_sep.num_heads, cfg_sep.head_dim
+            ws = [np.asarray(attn[p]["kernel"]) for p in
+                  ("to_q", "to_k", "to_v")]
+            bs = [np.asarray(attn[p]["bias"]) for p in
+                  ("to_q", "to_k", "to_v")]
+            h_in = ws[0].shape[0]
+            k3 = np.stack([w.reshape(h_in, nh, hd) for w in ws],
+                          axis=2).reshape(h_in, nh * 3 * hd)
+            b3 = np.stack([b.reshape(nh, hd) for b in bs],
+                          axis=1).reshape(nh * 3 * hd)
+            out = {k: v for k, v in attn.items()
+                   if k not in ("to_q", "to_k", "to_v")}
+            out["to_qkv"] = {"kernel": jnp.asarray(k3),
+                             "bias": jnp.asarray(b3)}
+            return out
+
+        p2 = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy ok
+        import flax
+        p2 = flax.core.unfreeze(p2) if hasattr(flax.core, "unfreeze") else p2
+        for i in range(cfg_sep.num_layers):
+            blk = dict(p2["params"][f"block_{i}"])
+            blk["attn"] = interleave(dict(blk["attn"]))
+            p2["params"][f"block_{i}"] = blk
+
+        o1 = m_sep.apply(params, lat, txt, t)
+        o2 = m_fused.apply(p2, lat, txt, t)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_timestep_conditioning_changes_output(self):
         model, params = self._model_and_params()
         rng = np.random.default_rng(1)

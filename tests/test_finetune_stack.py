@@ -221,7 +221,7 @@ class TestConvert:
             sd[f"{b}.ff.net.2.weight"] = r(h, 4 * h)
             sd[f"{b}.ff.net.2.bias"] = r(h)
 
-        converted = convert_cogvideox_dit(sd)
+        converted = convert_cogvideox_dit(sd, head_dim=cfg.head_dim)
         model = CogVideoXTransformer(cfg)
         lat = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 12)).astype(np.float32))
         txt = jnp.asarray(rng.normal(size=(1, 5, 16)).astype(np.float32))

@@ -37,8 +37,8 @@ class TestLoRA:
         _, params, _, _ = _setup()
         cfg = LoRAConfig(rank=4)
         lora = init_lora(params, cfg, jax.random.PRNGKey(1))
-        # 2 blocks x (4 attn + 2 ff) kernels
-        assert len(lora) == 12
+        # 2 blocks x (2 attn [fused to_qkv + to_out] + 2 ff) kernels
+        assert len(lora) == 8
         assert all(("attn/to_" in p) or ("ff/fc" in p) for p in lora)
         # ~6% on the tiny config; <1% at the real 5.57B scale
         assert n_params(lora) < 0.10 * n_params(params)
