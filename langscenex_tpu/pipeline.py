@@ -39,6 +39,14 @@ class PipelinePaths:
     # language-feature extractor checkpoints (either may be empty):
     openseg_path: str = ""    # TF SavedModel dir (preprocessor.py:22-34)
     clip_ckpt: str = ""       # torch CLIPVisionModelWithProjection ckpt
+    # LSeg alternate branch (preprocessor.py:112-138, 229-255): when
+    # feature_extractor_type == "lseg", per-frame 512-d features are
+    # VQ-compressed to lang_features_dim4/*_f.npy instead of the
+    # OpenSeg->AE dim3 path. sem_ae_ckpt = the diffusers-VQModel
+    # safetensors/ckpt the reference loads at preprocessor.py:129.
+    feature_extractor_type: str = "openseg"
+    lseg_ckpt: str = ""
+    sem_ae_ckpt: str = ""
 
 
 class VideoPreprocessor:
@@ -195,6 +203,9 @@ class FieldConstructionPipeline:
         (paths.clip_ckpt; models/clip_dense). The AE training + per-pixel
         scatter then runs on the pooled rows."""
         from .train.ae import generate_dim3_features
+        if self.paths.feature_extractor_type == "lseg":
+            self._extract_lseg_features()
+            return
         lf = os.path.join(self.paths.data_path, "lang_features")
         seg = os.path.join(self.paths.data_path, "lang_features_dim3")
         if not os.path.isdir(lf) or not os.listdir(lf):
@@ -208,6 +219,38 @@ class FieldConstructionPipeline:
             from .models.openseg import extract_scene_features
             extract_scene_features(self.paths.data_path, extractor=extractor)
         generate_dim3_features(lf, seg, seg, num_epochs=self.ae_epochs)
+
+    def _extract_lseg_features(self) -> None:
+        """The reference's LSeg branch (preprocessor.py:229-255): LSeg
+        512-d dense features -> VQ encoder -> lang_features_dim4/. The
+        upstream path is import-broken (cogvideox_interpolation.lseg is
+        absent from the reference tree) and its dim4 artifacts are
+        unconsumed by the cameras; this port mirrors the surface."""
+        import jax
+        from .models.lseg import (LSegFeatureExtractor,
+                                  generate_lang_features_with_lseg)
+        from .models.vq_model import VQModel
+        p = self.paths
+        if not (p.lseg_ckpt and os.path.exists(p.lseg_ckpt)):
+            log.warning("feature_extractor_type=lseg but lseg_ckpt "
+                        "missing; skipping LSeg stage")
+            return
+        lseg = LSegFeatureExtractor.from_torch_checkpoint(p.lseg_ckpt)
+        vq = VQModel()
+        import jax.numpy as jnp
+        if p.sem_ae_ckpt and os.path.exists(p.sem_ae_ckpt):
+            from .convert_cli import load_state_dict
+            from .utils.convert import convert_vq_model
+            vq_params = jax.tree_util.tree_map(
+                jnp.asarray, convert_vq_model(load_state_dict(p.sem_ae_ckpt)))
+        else:
+            log.warning("sem_ae_ckpt missing; using random-init VQ "
+                        "compressor (shape-correct, not semantic)")
+            vq_params = vq.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 32, 512)))
+        n = generate_lang_features_with_lseg(p.data_path, lseg, vq,
+                                             vq_params)
+        log.info("LSeg branch wrote %d lang_features_dim4 maps", n)
 
     def _make_lang_extractor(self):
         p = self.paths

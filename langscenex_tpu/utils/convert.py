@@ -940,3 +940,94 @@ def walk_assign(tree: Dict, path: str, value) -> None:
     for p in parts[:-1]:
         node = node.setdefault(p, {})
     node[parts[-1]] = value
+
+
+def convert_vq_model(sd: Dict[str, np.ndarray]) -> Dict:
+    """diffusers VQModel state_dict -> flax params for
+    models/vq_model.VQModel (the reference's LSeg semantic compressor,
+    field_construction/preprocessor.py:115-129: custom-trained ckpt
+    loaded via safetensors load_file).
+
+    Layout (diffusers 0.30 VQModel): encoder.{conv_in, down_blocks.N.
+    {resnets.M, downsamplers.0.conv}, mid_block.{resnets.0/1,
+    attentions.0}, conv_norm_out, conv_out}, quant_conv,
+    quantize.embedding.weight, post_quant_conv, decoder (spatial-norm
+    resnets/attention: norm*.{norm_layer,conv_y,conv_b}).
+    """
+    def gn(prefix):
+        return t2f_layernorm(sd[prefix + ".weight"], sd[prefix + ".bias"])
+
+    def conv(prefix):
+        return t2f_conv(sd[prefix + ".weight"], sd.get(prefix + ".bias"))
+
+    def spatial_norm(prefix):
+        return {"norm_layer": gn(prefix + ".norm_layer"),
+                "conv_y": conv(prefix + ".conv_y"),
+                "conv_b": conv(prefix + ".conv_b")}
+
+    def resnet(prefix, spatial):
+        out = {}
+        for nm in ("norm1", "norm2"):
+            out[nm] = (spatial_norm(f"{prefix}.{nm}") if spatial
+                       else gn(f"{prefix}.{nm}"))
+        out["conv1"] = conv(prefix + ".conv1")
+        out["conv2"] = conv(prefix + ".conv2")
+        if prefix + ".conv_shortcut.weight" in sd:
+            out["conv_shortcut"] = conv(prefix + ".conv_shortcut")
+        return out
+
+    def attn(prefix, spatial):
+        out = {}
+        if spatial:
+            out["spatial_norm"] = spatial_norm(prefix + ".spatial_norm")
+        else:
+            out["group_norm"] = gn(prefix + ".group_norm")
+        for nm in ("to_q", "to_k", "to_v"):
+            out[nm] = t2f_linear(sd[f"{prefix}.{nm}.weight"],
+                                 sd[f"{prefix}.{nm}.bias"])
+        out["to_out"] = t2f_linear(sd[prefix + ".to_out.0.weight"],
+                                   sd[prefix + ".to_out.0.bias"])
+        return out
+
+    enc = {"conv_in": conv("encoder.conv_in"),
+           "conv_norm_out": gn("encoder.conv_norm_out"),
+           "conv_out": conv("encoder.conv_out")}
+    i = 0
+    while f"encoder.down_blocks.{i}.resnets.0.conv1.weight" in sd:
+        j = 0
+        while f"encoder.down_blocks.{i}.resnets.{j}.conv1.weight" in sd:
+            enc[f"down_{i}_res_{j}"] = resnet(
+                f"encoder.down_blocks.{i}.resnets.{j}", spatial=False)
+            j += 1
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            enc[f"down_{i}_downsample"] = {
+                "conv": conv(f"encoder.down_blocks.{i}.downsamplers.0.conv")}
+        i += 1
+    enc["mid_res_0"] = resnet("encoder.mid_block.resnets.0", spatial=False)
+    enc["mid_res_1"] = resnet("encoder.mid_block.resnets.1", spatial=False)
+    enc["mid_attn"] = attn("encoder.mid_block.attentions.0", spatial=False)
+
+    dec = {"conv_in": conv("decoder.conv_in"),
+           "conv_norm_out": spatial_norm("decoder.conv_norm_out"),
+           "conv_out": conv("decoder.conv_out")}
+    i = 0
+    while f"decoder.up_blocks.{i}.resnets.0.conv1.weight" in sd:
+        j = 0
+        while f"decoder.up_blocks.{i}.resnets.{j}.conv1.weight" in sd:
+            dec[f"up_{i}_res_{j}"] = resnet(
+                f"decoder.up_blocks.{i}.resnets.{j}", spatial=True)
+            j += 1
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            dec[f"up_{i}_upsample"] = {
+                "conv": conv(f"decoder.up_blocks.{i}.upsamplers.0.conv")}
+        i += 1
+    dec["mid_res_0"] = resnet("decoder.mid_block.resnets.0", spatial=True)
+    dec["mid_res_1"] = resnet("decoder.mid_block.resnets.1", spatial=True)
+    dec["mid_attn"] = attn("decoder.mid_block.attentions.0", spatial=True)
+
+    return {"params": {
+        "encoder": enc, "decoder": dec,
+        "quant_conv": conv("quant_conv"),
+        "post_quant_conv": conv("post_quant_conv"),
+        "codebook": np.asarray(sd["quantize.embedding.weight"]),
+    }}
