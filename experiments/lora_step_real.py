@@ -55,16 +55,18 @@ def main():
         "text": jnp.asarray(rng.normal(size=(1, TXT, cfg.text_embed_dim)),
                             jnp.bfloat16),
     }
+    # base as a jit ARG: closed-over it lowers as 11.1 GB of constants
+    # in the remote-compile request (HTTP-413 class blocker, KERNELS §6b)
     jstep = jax.jit(step, donate_argnums=0)
     key = jax.random.PRNGKey(2)
     t0 = time.perf_counter()
-    state, m = jstep(state, batch, key)
+    state, m = jstep(state, batch, key, base)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"loss={float(m['loss']):.4f}", flush=True)
     ts = []
     for i in range(3):
         t0 = time.perf_counter()
-        state, m = jstep(state, batch, key)
+        state, m = jstep(state, batch, key, base)
         loss = float(m["loss"])                 # fetch = fence
         ts.append(time.perf_counter() - t0)
     print(f"LoRA fine-tune step (B=1, 5.57B, remat): "

@@ -119,8 +119,8 @@ def make_lora_train_step(model, base_params: Dict, cfg,
         return {"lora": lora, "opt": opt.init(lora),
                 "step": jnp.zeros((), jnp.int32)}
 
-    def loss_fn(lora, batch, t, noise):
-        params = merge_lora(base_params, lora, lora_cfg)
+    def loss_fn(lora, batch, t, noise, base):
+        params = merge_lora(base, lora, lora_cfg)
         x0 = batch["x0"]
         a = sqrt_ac[t][:, None, None, None, None].astype(x0.dtype)
         b = sqrt_1m[t][:, None, None, None, None].astype(x0.dtype)
@@ -130,13 +130,20 @@ def make_lora_train_step(model, base_params: Dict, cfg,
         v_tgt = a * noise - b * x0
         return jnp.mean(jnp.square((v_pred - v_tgt).astype(jnp.float32)))
 
-    def step(state, batch, rng):
+    def step(state, batch, rng, base=None):
+        """``base``: pass the base-param tree EXPLICITLY under jit so it
+        lowers as an argument, not as 11.1 GB of captured constants in
+        the remote-compile request (the stage-1 full-scale blocker of
+        KERNELS §6b applies identically here); None falls back to the
+        closed-over tree (fine on CPU/tests)."""
+        if base is None:
+            base = base_params
         rt, rn = jax.random.split(rng)
         B = batch["x0"].shape[0]
         t = jax.random.randint(rt, (B,), 0, T)
         noise = jax.random.normal(rn, batch["x0"].shape, batch["x0"].dtype)
         loss, grads = jax.value_and_grad(loss_fn)(state["lora"], batch,
-                                                  t, noise)
+                                                  t, noise, base)
         updates, new_opt = opt.update(grads, state["opt"], state["lora"])
         new_lora = optax.apply_updates(state["lora"], updates)
         return ({"lora": new_lora, "opt": new_opt,
