@@ -89,6 +89,36 @@ def merge_lora(params: Dict, lora: Dict, cfg: LoRAConfig) -> Dict:
     return out
 
 
+def lora_apply(model, base_params: Dict, lora: Dict, cfg: LoRAConfig,
+               *args, **kwargs):
+    """Merge-FREE adapted forward: y = x@W + (alpha/rank)*(x@A)@B per
+    adapted Dense, injected with flax's method interceptor.
+
+    Why not merge_lora inside the loss: the merged tree is a full COPY
+    of the 11.1 GB base (25.9 GB total with activations — measured OOM
+    on one 16 GB v5e, experiments/lora_step_real.py). The low-rank path
+    adds only [T,r] activations, keeps the merge inside each block's
+    remat region, and reaches identical math to bf16 tolerance
+    (tests/test_lora.py::test_lora_apply_matches_merged)."""
+    import flax.linen as nn
+    scale = cfg.alpha / cfg.rank
+
+    def interceptor(next_fun, iargs, ikwargs, context):
+        if (context.method_name == "__call__"
+                and isinstance(context.module, nn.Dense)):
+            ab = lora.get("/".join(context.module.path))
+            if ab is not None:
+                x = iargs[0]
+                y = next_fun(*iargs, **ikwargs)
+                delta = ((x @ ab["a"].astype(x.dtype))
+                         @ ab["b"].astype(x.dtype))
+                return y + jnp.asarray(scale, x.dtype) * delta
+        return next_fun(*iargs, **ikwargs)
+
+    with nn.intercept_methods(interceptor):
+        return model.apply({"params": base_params}, *args, **kwargs)
+
+
 def export_merged(params: Dict, lora: Dict, cfg: LoRAConfig) -> Dict:
     """Bake adapters into a standalone checkpoint (inference needs no
     LoRA machinery afterwards)."""
@@ -120,13 +150,15 @@ def make_lora_train_step(model, base_params: Dict, cfg,
                 "step": jnp.zeros((), jnp.int32)}
 
     def loss_fn(lora, batch, t, noise, base):
-        params = merge_lora(base, lora, lora_cfg)
         x0 = batch["x0"]
         a = sqrt_ac[t][:, None, None, None, None].astype(x0.dtype)
         b = sqrt_1m[t][:, None, None, None, None].astype(x0.dtype)
         noisy = a * x0 + b * noise
         model_in = jnp.concatenate([noisy, batch["cond"]], axis=2)
-        v_pred = model.apply({"params": params}, model_in, batch["text"], t)
+        # merge-free adapted forward (lora_apply docstring: the merged
+        # tree copies the whole base and OOMs a single v5e)
+        v_pred = lora_apply(model, base, lora, lora_cfg,
+                            model_in, batch["text"], t)
         v_tgt = a * noise - b * x0
         return jnp.mean(jnp.square((v_pred - v_tgt).astype(jnp.float32)))
 

@@ -71,6 +71,27 @@ class TestLoRA:
         # adapters actually moved
         assert float(jnp.abs(list(state["lora"].values())[0]["b"]).max()) > 0
 
+    def test_lora_apply_matches_merged(self):
+        """Merge-free interceptor forward == merged-weights forward
+        (y = x@(W+sAB) vs x@W + s(x@A)@B; f32 tiny model, tight tol).
+        The merge-free path is what the train step uses — the merged
+        tree would copy the whole 11.1 GB base at full scale."""
+        from langscenex_tpu.train.lora import lora_apply
+        model, params, batch, lat = _setup()
+        cfg = LoRAConfig(rank=4)
+        lora = init_lora(params, cfg, jax.random.PRNGKey(4))
+        lora = jax.tree_util.tree_map(
+            lambda x: x + 0.02 * jnp.ones_like(x), lora)
+        t = jnp.array([100, 500], jnp.int32)
+        merged = model.apply({"params": merge_lora(params, lora, cfg)},
+                             lat, batch["text"], t)
+        free = lora_apply(model, params, lora, cfg, lat, batch["text"], t)
+        np.testing.assert_allclose(np.asarray(free), np.asarray(merged),
+                                   rtol=1e-4, atol=1e-4)
+        # and it actually differs from base (adapters engaged)
+        base = model.apply({"params": params}, lat, batch["text"], t)
+        assert float(jnp.abs(free - base).max()) > 1e-4
+
     def test_export_merged_matches_adapted(self):
         model, params, batch, lat = _setup()
         cfg = LoRAConfig(rank=4)
