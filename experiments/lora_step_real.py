@@ -26,9 +26,17 @@ F, C, Hl, Wl, TXT = 13, 16, 60, 90, 226
 
 
 def main():
+    import os
+    # FULL-shape finding (2026-08-21, after the merge-free fix): the
+    # B=1 F=13 (18k-token) LoRA step compiles to 17.16 G vs 15.75 G
+    # HBM — 11.1 G base args + 42 x 110 MB remat block boundaries +
+    # workspace. One v5e cannot hold it; TP=2 fits trivially (base and
+    # boundaries both halve). LSX_LORA_FRAMES<13 measures the
+    # all-params step at a reduced sequence as a labeled supplement.
+    F_run = int(os.environ.get("LSX_LORA_FRAMES", F))
     cfg = TransformerConfig(remat=True)
     model = CogVideoXTransformer(cfg)
-    lat = jax.ShapeDtypeStruct((1, F, 2 * C, Hl, Wl), jnp.bfloat16)
+    lat = jax.ShapeDtypeStruct((1, F_run, 2 * C, Hl, Wl), jnp.bfloat16)
     txt = jax.ShapeDtypeStruct((1, TXT, cfg.text_embed_dim), jnp.bfloat16)
     shapes = jax.eval_shape(
         lambda l, x: model.init(jax.random.PRNGKey(0), l, x,
@@ -49,8 +57,8 @@ def main():
 
     rng = np.random.default_rng(0)
     batch = {
-        "x0": jnp.asarray(rng.normal(size=(1, F, C, Hl, Wl)), jnp.bfloat16),
-        "cond": jnp.asarray(rng.normal(size=(1, F, C, Hl, Wl)),
+        "x0": jnp.asarray(rng.normal(size=(1, F_run, C, Hl, Wl)), jnp.bfloat16),
+        "cond": jnp.asarray(rng.normal(size=(1, F_run, C, Hl, Wl)),
                             jnp.bfloat16),
         "text": jnp.asarray(rng.normal(size=(1, TXT, cfg.text_embed_dim)),
                             jnp.bfloat16),
@@ -69,7 +77,7 @@ def main():
         state, m = jstep(state, batch, key, base)
         loss = float(m["loss"])                 # fetch = fence
         ts.append(time.perf_counter() - t0)
-    print(f"LoRA fine-tune step (B=1, 5.57B, remat): "
+    print(f"LoRA fine-tune step (B=1, 5.57B, remat, F={F_run}): "
           f"{min(ts):.2f} s/step (loss {loss:.4f})", flush=True)
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
