@@ -28,7 +28,7 @@ import os
 import numpy as np
 
 FAMILIES = ("sam1", "sam2", "vggt", "dit", "vae", "lpips", "autoencoder",
-            "clip", "clip_text")
+            "clip", "clip_text", "vq")
 
 
 def load_state_dict(path: str):
@@ -61,6 +61,7 @@ def convert(family: str, sd):
         "autoencoder": C.convert_autoencoder,
         "clip": C.convert_clip_vision,
         "clip_text": C.convert_clip_text,
+        "vq": C.convert_vq_model,
     }[family]
     return fn(sd)
 
@@ -126,6 +127,11 @@ def expected_shapes(family: str):
         from .models.clip_dense import CLIPTextEncoder, CLIPTextConfig
         model = CLIPTextEncoder(CLIPTextConfig())
         fn = lambda: model.init(key, jnp.zeros((1, 77), jnp.int32))
+    elif family == "vq":
+        # the LSeg-branch semantic compressor (preprocessor.py:115-129)
+        from .models.vq_model import VQModel
+        model = VQModel()
+        fn = lambda: model.init(key, jnp.zeros((1, 32, 32, 512)))
     else:  # pragma: no cover
         raise ValueError(family)
 
