@@ -713,6 +713,24 @@ class TestMultiTierAndRankKey:
             np.testing.assert_array_equal(np.asarray(a.point_list),
                                           np.asarray(b.point_list))
 
+    def test_rank_key_auto_fallback_big_grid(self):
+        """rank_key packs (tile << 22 | rank) into int32 — past 2^9
+        tiles it must FALL BACK to the 2-key sort silently and still
+        produce correct lists (rank_key_sort is default-on since r4, so
+        the fallback is load-bearing for large-grid configs)."""
+        cam = make_camera(W=128, H=64)
+        means, scales, quats, opacity, colors = self._scene(seed=11)
+        proc = self._proc(cam, means, scales, quats, colors)
+        gx, gy = 64, 16                      # 1024 tiles > 2^9 ceiling
+        a = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64,
+                             big_splats=64)
+        b = build_tile_lists(proc, gx, gy, max_tiles_per_splat=64,
+                             big_splats=64, rank_key=True)
+        np.testing.assert_array_equal(np.asarray(a.point_list),
+                                      np.asarray(b.point_list))
+        np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                      np.asarray(b.tile_starts))
+
     def test_key_only_matches_rank_key(self):
         """key_only (1-operand sort + sid recovered from the rank bits)
         must reproduce rank_key's lists EXACTLY, including the sid
