@@ -51,11 +51,20 @@ def load_state_dict(path: str):
 
 def convert(family: str, sd):
     from .utils import convert as C
+
+    def dit(sd):
+        # derive the QKV interleave granularity from the model config —
+        # a wrong-but-dividing head_dim would silently interleave wrong
+        # columns (ADVICE r4)
+        from .models.cogvideox.transformer import TransformerConfig
+        return C.convert_cogvideox_dit(
+            sd, head_dim=TransformerConfig().head_dim)
+
     fn = {
         "sam1": C.convert_sam1,
         "sam2": C.convert_sam2,
         "vggt": C.convert_vggt,
-        "dit": C.convert_cogvideox_dit,
+        "dit": dit,
         "vae": C.convert_cogvideox_vae,
         "lpips": C.convert_lpips_vgg,
         "autoencoder": C.convert_autoencoder,

@@ -28,6 +28,12 @@ class VQConfig:
     in_channels: int = 512
     out_channels: int = 512
     latent_channels: int = 4
+    # diffusers' VQModel hard-codes 32 GroupNorm groups, but this
+    # config's 16/64-channel decoder stages cannot satisfy 32 groups
+    # (the upstream branch cannot even construct at the LSeg
+    # compressor's channel plan) — 2 divides every stage width here.
+    # A converted checkpoint with a different group count would fail
+    # shape verification loudly, not silently.
     norm_num_groups: int = 2
     block_out_channels: Tuple[int, ...] = (256, 64, 16)
     layers_per_block: int = 1
@@ -198,8 +204,18 @@ class VQModel(nn.Module):
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(cfg.latent_channels, (1, 1),
                                        name="post_quant_conv")
+        # centered [-1/n, 1/n) like diffusers' VectorQuantizer
+        # (nn.Embedding.uniform_(-1/n, 1/n)); converted checkpoints
+        # overwrite this — it only matters for the warned random-init
+        # fallback (ADVICE r4)
+        n = cfg.num_vq_embeddings
+
+        def _centered_uniform(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype,
+                                      minval=-1.0 / n, maxval=1.0 / n)
+
         self.codebook = self.param(
-            "codebook", nn.initializers.uniform(2.0 / cfg.num_vq_embeddings),
+            "codebook", _centered_uniform,
             (cfg.num_vq_embeddings, cfg.latent_channels))
 
     def encode(self, x):

@@ -226,8 +226,12 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
     else:
         # large-register top_k is ~6 ms at B=40k/P=100k on v5e (device
         # A/B ab_sortdomain2) while a full [P] variadic sort is ~0.5 ms
-        # (same engine the rank_key depth argsort rides)
-        stt, sidx = jax.lax.sort((-tt, sid_base), num_keys=1)
+        # (same engine the rank_key depth argsort rides). The payload is
+        # a LOCAL arange — top_idx values are positional row indices
+        # into rect_min/rect_w/cull, which only coincide with sid_base
+        # when the caller passes the identity permutation.
+        stt, sidx = jax.lax.sort(
+            (-tt, jnp.arange(P, dtype=jnp.int32)), num_keys=1)
         top_tt, top_idx = -stt[:B_max], sidx[:B_max]
 
     # exactness: every splat with tt > S_i must fit tier i's register
@@ -337,7 +341,8 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      cull: CullSpec | None = None,
                      extra_tiers: tuple = (),
                      rank_key: bool = False,
-                     key_only: bool = False) -> TileLists:
+                     key_only: bool = False,
+                     compact: bool = False) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
     ``max_tiles_per_splat`` (K1) sizes the tier-1 enumeration;
@@ -362,6 +367,13 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
     enumeration permutes, unlike depth_presort), so pair order matches
     (tile, depth) with deterministic tie-breaking by depth rank.
     Auto-falls back when (n_tiles+1) << 22 | rank would overflow int32.
+
+    ``compact`` (requires ``rank_key`` + ``max_pairs``): run the Pallas
+    stream-compaction kernel (ops/compaction.py) over the enumerated
+    (key, sid) streams BEFORE the sort, so the sort runs on the
+    <= max_pairs valid slots instead of the full static enumeration
+    domain (~3.3x larger at the bench scene). Valid keys are unique
+    (tile<<22 | depth rank), so the sorted lists are bit-identical.
 
     ``key_only`` (requires ``rank_key``): sort ONLY the packed key — a
     1-operand sort, half the stream traffic of rank_key's (key, sid)
@@ -404,7 +416,18 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
         # invalid pairs carry (n_tiles, real rank) — still sorts after
         # every valid pair since tile occupies the high bits
         key = key_tile * (1 << 22) + key_depth
-        if key_only:
+        if compact and max_pairs is not None and not key_only:
+            # shrink the sort domain to the budget before sorting
+            from .compaction import compact_pairs
+            ckey, csid = compact_pairs(
+                key, sid, sent_min=n_tiles << 22, budget=max_pairs,
+                sent_fill_key=n_tiles << 22, sent_fill_sid=P,
+                interpret=jax.default_backend() != "tpu")
+            sorted_key, point_list = jax.lax.sort((ckey, csid), num_keys=1)
+            if max_pairs < sorted_key.shape[0]:
+                sorted_key = sorted_key[:max_pairs]
+                point_list = point_list[:max_pairs]
+        elif key_only:
             # 1-operand sort; sid recovered from the rank bits post-
             # truncation (rank bits are always a REAL splat's rank, so
             # perm[rank] is in-bounds; the sentinel is restored from the

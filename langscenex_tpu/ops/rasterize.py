@@ -114,6 +114,12 @@ class RasterConfig:
     # tiles. DEFAULT ON since round 4: bit-identical lists, -0.6 ms on
     # the bench forward (KERNELS.md §14).
     rank_key_sort: bool = True
+    # With rank_key_sort + max_pairs: Pallas stream compaction of the
+    # enumerated (key, sid) streams BEFORE the sort (ops/compaction.py) —
+    # the sort then runs on <= max_pairs slots instead of the ~3.3x
+    # larger static enumeration domain. Bit-identical lists (valid keys
+    # are unique). Round-5 sort-engine work, docs/KERNELS.md §16.
+    compact_sort: bool = False
     # With rank_key_sort: sort ONLY the packed key (1-operand sort) and
     # recover the sid payload from the rank bits after truncation via
     # one [max_pairs] gather from the depth-argsort table — half the
@@ -309,7 +315,8 @@ def rasterize(
                                  big_splats=cfg.big_splats, cull=cull,
                                  extra_tiers=cfg.extra_tiers,
                                  rank_key=cfg.rank_key_sort,
-                                 key_only=cfg.key_only_sort)
+                                 key_only=cfg.key_only_sort,
+                                 compact=cfg.compact_sort)
 
     parts = [proc.rgb]
     if language_feature is not None:

@@ -152,6 +152,14 @@ def convert_cogvideox_dit(sd: Dict[str, np.ndarray],
                 ws.append(lin["kernel"])          # [H_in, H_out]
                 bs.append(lin["bias"])
             h_in, h_out = ws[0].shape
+            # head_dim=64 is the CogVideoX-2b/5b value; a wrong value
+            # that still divides h_out would reshape fine but interleave
+            # the WRONG columns (silent numeric corruption) — derive it
+            # from the model config at call sites (convert_cli passes
+            # TransformerConfig().head_dim) and hard-fail on remainder.
+            assert h_out % head_dim == 0, (
+                f"head_dim {head_dim} does not divide attention width "
+                f"{h_out} — pass the checkpoint's true head_dim")
             nh = h_out // head_dim
             # [H_in, nh, 3, head_dim] -> [H_in, nh*3*head_dim]
             k3 = np.stack([w.reshape(h_in, nh, head_dim) for w in ws],

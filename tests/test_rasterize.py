@@ -788,3 +788,39 @@ class TestMultiTierAndRankKey:
                                       np.asarray(o2.color))
         np.testing.assert_array_equal(np.asarray(o1.final_T),
                                       np.asarray(o2.final_T))
+
+
+class TestSortBasedRegisters:
+    """ADVICE r4: the B_max > 1024 sort-based register branch (taken by
+    the exact bench config's 7168-wide tier) vs the lax.top_k branch."""
+
+    def test_sort_branch_matches_topk_branch(self):
+        # reuse the heavy-tailed tier scene
+        cam = make_camera(W=128, H=64)
+        helper = TestMultiTierAndRankKey()
+        means, scales, quats, opacity, colors = helper._scene(P=1400, seed=31)
+        proc = helper._proc(cam, means, scales, quats, colors)
+        gx, gy = 8, 8
+        # identical tier THRESHOLDS; register sizes straddle the 1024
+        # engine cutoff — both exact, so the sorted lists must be
+        # bit-identical (same pair set, same keys)
+        a = build_tile_lists(proc, gx, gy, max_tiles_per_splat=4,
+                             big_splats=64,
+                             extra_tiers=((1000, 12), (128, 16)))
+        b = build_tile_lists(proc, gx, gy, max_tiles_per_splat=4,
+                             big_splats=64,
+                             extra_tiers=((1300, 12), (128, 16)))
+        assert not bool(a.k_overflowed) and not bool(b.k_overflowed)
+        np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                      np.asarray(b.tile_starts))
+        np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                      np.asarray(b.tile_counts))
+        # same pair multiset per tile, same depth order => same list
+        rs, rc = np.asarray(a.tile_starts), np.asarray(a.tile_counts)
+        pa, pb = np.asarray(a.point_list), np.asarray(b.point_list)
+        depth = np.asarray(proc.depth)
+        for t in range(gx * gy):
+            la = pa[rs[t]:rs[t] + rc[t]]
+            lb = pb[rs[t]:rs[t] + rc[t]]
+            assert set(la.tolist()) == set(lb.tolist()), f"tile {t}"
+            assert np.all(np.diff(depth[lb]) >= 0), f"tile {t} order"
