@@ -94,7 +94,9 @@ def _partition_rows(pkey, key, sid):
                 return jnp.where(first, fwd, bwd)
 
             pp = partner(pkey)
-            swap = jnp.where(take_min, pp < pkey, pp > pkey)
+            # bitwise, not where(bool, bool, bool): Mosaic cannot
+            # truncate the i8 select result back to i1
+            swap = (take_min & (pp < pkey)) | (~take_min & (pp > pkey))
             pkey = jnp.where(swap, pp, pkey)
             key = jnp.where(swap, partner(key), key)
             sid = jnp.where(swap, partner(sid), sid)
@@ -146,7 +148,7 @@ def _compact_kernel(key_ref, sid_ref, okey_in, osid_in, okey_hbm, osid_hbm,
     c_r = incl[:, LANES - 1:LANES]                       # [R, 1] row counts
     rb_incl = _cumsum_rows(c_r)
     rowbase = rb_incl - c_r                              # exclusive
-    total_c = rb_incl[CH_ROWS - 1, 0]
+    total_c = jnp.sum(mi)
 
     cursor = cursor_ref[0]
     base_row = cursor // LANES
@@ -160,36 +162,62 @@ def _compact_kernel(key_ref, sid_ref, okey_in, osid_in, okey_hbm, osid_hbm,
     pkey = lane + jnp.where(mask, 0, 16384)
     pk, ps = _partition_rows(pkey, key, sid)
 
-    # pre-roll every row to its output lane phase
+    # pre-roll every row to its output lane phase (wrapped lanes feed
+    # the row's SECOND destination row via the mhi mask)
     pk = _var_roll_right(pk, off)
     ps = _var_roll_right(ps, off)
 
     # lane masks for the two destination rows of each source row
     end = off + c_r                                      # [R, 1]
-    mlo = (lane >= off) & (lane < jnp.minimum(end, LANES))
-    mhi = lane < (end - LANES)
+    mlo = ((lane >= off) & (lane < jnp.minimum(end, LANES))
+           ).astype(jnp.float32)
+    mhi = (lane < (end - LANES)).astype(jnp.float32)
 
-    # fresh window: sentinel everywhere, boundary row from the carry
-    ob_k[slot] = jnp.full_like(ob_k[slot], sent_fill_key)
-    ob_s[slot] = jnp.full_like(ob_s[slot], sent_fill_sid)
-    ob_k[slot, 0:1] = carry_k[...]
-    ob_s[slot, 0:1] = carry_s[...]
+    # ---- one-hot MXU merge: every output lane receives EXACTLY ONE
+    # source element (destination intervals are disjoint by
+    # construction), so OB = M @ D with one-hot M is exact. int32 values
+    # ride as two 16-bit halves (<= 2^16, exact in f32 HIGHEST passes;
+    # single-term sums, no accumulation growth).
+    qT = jax.lax.transpose(qrow, (1, 0)).astype(jnp.float32)   # [1, R]
+    qio = _row_iota((OB_ROWS, CH_ROWS)).astype(jnp.float32)
+    m_lo = (qT == qio).astype(jnp.float32)               # [OBR, R]
+    m_hi = (qT == qio - 1.0).astype(jnp.float32)
+    M = jnp.concatenate([m_lo, m_hi], axis=1)            # [OBR, 2R]
 
-    def merge(r, _):
-        # row r's (rolled) data spans output rows q and q+1 with the
-        # precomputed lane masks; one 2-row RMW per stream
-        def dsl(x):
-            return jax.lax.dynamic_slice_in_dim(x, r, 1, axis=0)
+    def halves(x):
+        h = jax.lax.shift_right_logical(x, 16).astype(jnp.float32)
+        l = (x & 0xffff).astype(jnp.float32)
+        return h, l
 
-        q = jax.lax.dynamic_slice(qrow, (r, 0), (1, 1))[0, 0]
-        m2 = jnp.concatenate([dsl(mlo), dsl(mhi)], axis=0)
-        vk = jnp.concatenate([dsl(pk), dsl(pk)], axis=0)
-        vs = jnp.concatenate([dsl(ps), dsl(ps)], axis=0)
-        ob_k[slot, pl.ds(q, 2)] = jnp.where(m2, vk, ob_k[slot, pl.ds(q, 2)])
-        ob_s[slot, pl.ds(q, 2)] = jnp.where(m2, vs, ob_s[slot, pl.ds(q, 2)])
-        return 0
+    kh, kl = halves(pk)
+    sh, sl = halves(ps)
+    ones = jnp.ones_like(kh)
+    streams = []
+    for v in (kh, kl, sh, sl, ones):
+        streams.append(jnp.concatenate([v * mlo, v * mhi], axis=0))
+    D = jnp.concatenate(streams, axis=1)                 # [2R, 5*LANES]
+    OB = jax.lax.dot_general(
+        M, D, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [OBR, 5*LANES]
+    okh = OB[:, 0 * LANES:1 * LANES].astype(jnp.int32)
+    okl = OB[:, 1 * LANES:2 * LANES].astype(jnp.int32)
+    osh = OB[:, 2 * LANES:3 * LANES].astype(jnp.int32)
+    osl = OB[:, 3 * LANES:4 * LANES].astype(jnp.int32)
+    cov = OB[:, 4 * LANES:5 * LANES] > 0.5
+    okey = jax.lax.shift_left(okh, 16) | okl
+    osid = jax.lax.shift_left(osh, 16) | osl
 
-    jax.lax.fori_loop(0, CH_ROWS, merge, 0, unroll=False)
+    # uncovered lanes: carry on the boundary row, sentinel elsewhere
+    rio = _row_iota((OB_ROWS, LANES))
+    base_k = jnp.where(rio == 0, jnp.broadcast_to(carry_k[...],
+                                                  (OB_ROWS, LANES)),
+                       sent_fill_key)
+    base_s = jnp.where(rio == 0, jnp.broadcast_to(carry_s[...],
+                                                  (OB_ROWS, LANES)),
+                       sent_fill_sid)
+    ob_k[slot] = jnp.where(cov, okey, base_k)
+    ob_s[slot] = jnp.where(cov, osid, base_s)
 
     # carry = the partial row at the new cursor (sentinel beyond it)
     new_end = cur_mod + total_c

@@ -943,6 +943,26 @@ def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k, split_kv=False):
 
 
 _SEQ_PARALLEL = None
+_TENSOR_PARALLEL = None
+
+
+@contextlib.contextmanager
+def tensor_parallel(mesh, axis: str = "model"):
+    """While active, attention_auto wraps the Pallas flash kernel in a
+    shard_map over the HEADS axis. Needed whenever the DiT runs
+    tensor-parallel on a real TPU mesh: GSPMD cannot auto-partition a
+    Mosaic kernel ("Mosaic kernels cannot be automatically partitioned"
+    — surfaced by the first full-sequence TP=2 AOT compile, round 5),
+    and attention is embarrassingly parallel over heads, so the
+    shard_map is purely local — no collectives. Wrap the jit-CALL site,
+    like sequence_parallel."""
+    global _TENSOR_PARALLEL
+    prev = _TENSOR_PARALLEL
+    _TENSOR_PARALLEL = (mesh, axis)
+    try:
+        yield
+    finally:
+        _TENSOR_PARALLEL = prev
 
 
 @contextlib.contextmanager
@@ -980,10 +1000,20 @@ def attention_auto(q, k, v, scale=None, dtype=jnp.bfloat16,
         # padded acc); the standard kernel exceeds VMEM at 2048
         bq = NT_BLOCK_Q if (bounded_logits and NT_BOUNDED_FORWARD) \
             else 1024
-        return flash_attention(q.astype(dtype), k.astype(dtype),
-                               v.astype(dtype), scale, block_q=bq,
-                               bounded_logits=bounded_logits
-                               ).astype(out_dtype)
+        fa = lambda qq, kk, vv: flash_attention(
+            qq, kk, vv, scale, block_q=bq,
+            bounded_logits=bounded_logits)
+        if _TENSOR_PARALLEL is not None:
+            # heads-sharded TP: shard_map the kernel (heads are
+            # independent — local compute, no collectives)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = _TENSOR_PARALLEL
+            spec = P(None, axis, None, None)
+            fa = shard_map(fa, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec, check_rep=False)
+        return fa(q.astype(dtype), k.astype(dtype),
+                  v.astype(dtype)).astype(out_dtype)
     scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(dtype), k.astype(dtype),
                         preferred_element_type=jnp.float32)

@@ -240,3 +240,40 @@ class TestConvertCLI:
                 sorted(jax.tree_util.tree_leaves_with_path(direct),
                        key=str)):
             np.testing.assert_allclose(a, b)
+
+
+class TestTrainAll:
+    """Multi-scene batch driver (train_all.sh parity)."""
+
+    def test_scene_argv_matches_shell_layout(self):
+        from langscenex_tpu.train_all import scene_argv
+        argv = scene_argv("kitchen", "outputs", "fc/data", "fc/out", [])
+        assert ("pipeline.rgb_video_path=outputs/kitchen/rgb/video_ckpt.mp4"
+                in argv)
+        assert "pipeline.data_path=fc/data/kitchen" in argv
+        assert "gaussian.dataset.model_path=fc/out/kitchen" in argv
+        assert "gaussian.opt.max_geo_iter=1500" in argv
+        # user override beats the batch default
+        argv2 = scene_argv("k", "v", "d", "o",
+                           ["gaussian.opt.max_geo_iter=99"])
+        assert "gaussian.opt.max_geo_iter=99" in argv2
+        assert "gaussian.opt.max_geo_iter=1500" not in argv2
+
+    def test_batch_loops_and_reports_failures(self, monkeypatch):
+        import langscenex_tpu.train_all as ta
+        calls = []
+
+        def fake_entry(argv):
+            calls.append(argv)
+            if "pipeline.data_path=d/bad" in argv:
+                raise RuntimeError("boom")
+            return 0
+
+        import langscenex_tpu.entry_point as ep
+        monkeypatch.setattr(ep, "main", fake_entry)
+        rc = ta.main(["--scenes", "a,bad,c", "--videos", "v",
+                      "--data", "d", "--out", "o", "x.y=1"][:]
+                     + [])
+        assert rc == 1                    # one scene failed
+        assert len(calls) == 3            # but the batch continued
+        assert all("x.y=1" in c for c in calls)
