@@ -342,7 +342,8 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
                      extra_tiers: tuple = (),
                      rank_key: bool = False,
                      key_only: bool = False,
-                     compact: bool = False) -> TileLists:
+                     compact: bool = False,
+                     pallas_sort: bool = False) -> TileLists:
     """Build depth-sorted per-tile splat lists.
 
     ``max_tiles_per_splat`` (K1) sizes the tier-1 enumeration;
@@ -419,11 +420,31 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
         if compact and max_pairs is not None and not key_only:
             # shrink the sort domain to the budget before sorting
             from .compaction import compact_pairs
+            interp = jax.default_backend() != "tpu"
             ckey, csid = compact_pairs(
                 key, sid, sent_min=n_tiles << 22, budget=max_pairs,
                 sent_fill_key=n_tiles << 22, sent_fill_sid=P,
-                interpret=jax.default_backend() != "tpu")
-            sorted_key, point_list = jax.lax.sort((ckey, csid), num_keys=1)
+                interpret=interp)
+            if pallas_sort:
+                # bitonic engine wants a power-of-two domain; all valid
+                # slots sit in the first <= max_pairs positions, so the
+                # stream can be sliced to next_pow2(max_pairs) (or
+                # sentinel-padded up) without losing pairs
+                from .sort_engine import bitonic_sort_pairs
+                nsort = max(1024, 1 << (max_pairs - 1).bit_length())
+                L = ckey.shape[0]
+                if L >= nsort:
+                    ckey, csid = ckey[:nsort], csid[:nsort]
+                else:
+                    ckey = jnp.concatenate([ckey, jnp.full(
+                        (nsort - L,), n_tiles << 22, jnp.int32)])
+                    csid = jnp.concatenate([csid, jnp.full(
+                        (nsort - L,), P, jnp.int32)])
+                sorted_key, point_list = bitonic_sort_pairs(
+                    ckey, csid, interpret=interp)
+            else:
+                sorted_key, point_list = jax.lax.sort((ckey, csid),
+                                                      num_keys=1)
             if max_pairs < sorted_key.shape[0]:
                 sorted_key = sorted_key[:max_pairs]
                 point_list = point_list[:max_pairs]

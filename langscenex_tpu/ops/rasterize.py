@@ -120,6 +120,11 @@ class RasterConfig:
     # larger static enumeration domain. Bit-identical lists (valid keys
     # are unique). Round-5 sort-engine work, docs/KERNELS.md §16.
     compact_sort: bool = False
+    # With compact_sort: replace lax.sort with the Pallas bitonic sort
+    # engine (ops/sort_engine.py) on the next_pow2(max_pairs) domain —
+    # ~10 hand-scheduled passes instead of XLA's generic merge cascade.
+    # Identical observable lists (unique valid keys).
+    pallas_sort: bool = False
     # With rank_key_sort: sort ONLY the packed key (1-operand sort) and
     # recover the sid payload from the rank bits after truncation via
     # one [max_pairs] gather from the depth-argsort table — half the
@@ -316,7 +321,8 @@ def rasterize(
                                  extra_tiers=cfg.extra_tiers,
                                  rank_key=cfg.rank_key_sort,
                                  key_only=cfg.key_only_sort,
-                                 compact=cfg.compact_sort)
+                                 compact=cfg.compact_sort,
+                                 pallas_sort=cfg.pallas_sort)
 
     parts = [proc.rgb]
     if language_feature is not None:

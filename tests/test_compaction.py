@@ -143,3 +143,49 @@ def test_binning_bit_identical():
     np.testing.assert_array_equal(np.asarray(a.tile_counts),
                                   np.asarray(b.tile_counts))
     assert not bool(a.overflowed) and not bool(b.overflowed)
+
+
+def test_binning_pallas_sort_bit_identical():
+    """compact_sort + pallas bitonic engine == plain lax.sort lists."""
+    import jax.numpy as jnp
+    from langscenex_tpu.ops import transforms as tf
+    from langscenex_tpu.ops.binning import build_tile_lists, CullSpec
+    from langscenex_tpu.ops.projection import RasterCamera, preprocess
+
+    W, H = 256, 128
+    rng = np.random.default_rng(7)
+    P = 4000
+    fovx = 1.0
+    fovy = tf.focal2fov(tf.fov2focal(fovx, W), H)
+    cam = RasterCamera(
+        w2c=jnp.eye(4),
+        proj=jnp.asarray(tf.projection_matrix(0.01, 100, fovx, fovy)),
+        width=W, height=H, tan_fovx=float(np.tan(fovx / 2)),
+        tan_fovy=float(np.tan(fovy / 2)))
+    means = np.stack([rng.uniform(-2, 2, P), rng.uniform(-1, 1, P),
+                      rng.uniform(2, 8, P)], -1).astype(np.float32)
+    scales = np.exp(rng.uniform(-4, -1.5, (P, 3))).astype(np.float32)
+    quats = rng.normal(size=(P, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = jnp.asarray(rng.uniform(0.2, 0.95, P).astype(np.float32))
+    gx, gy = (W + 31) // 32, (H + 31) // 32
+    proc = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                      jnp.asarray(quats), cam, tile_w=32, tile_h=32,
+                      opacity=opac,
+                      colors_precomp=jnp.asarray(
+                          rng.uniform(0, 1, (P, 3)).astype(np.float32)))
+    op = jnp.where(proc.visible, opac, 0.0)
+    qmax = 2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-12)) + 0.05
+    cull = CullSpec(mean2d=proc.mean2d, conic=proc.conic, qmax=qmax,
+                    tile_w=32, tile_h=32)
+    kw = dict(max_tiles_per_splat=8, max_pairs=12000, big_splats=16,
+              cull=cull, extra_tiers=((512, 8),), rank_key=True)
+    a = build_tile_lists(proc, gx, gy, **kw)
+    b = build_tile_lists(proc, gx, gy, **kw, compact=True,
+                         pallas_sort=True)
+    np.testing.assert_array_equal(np.asarray(a.point_list),
+                                  np.asarray(b.point_list))
+    np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                  np.asarray(b.tile_starts))
+    np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                  np.asarray(b.tile_counts))
