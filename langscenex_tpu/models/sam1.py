@@ -306,6 +306,11 @@ class SAM1AMGConfig:
     crop_n_layers: int = 1       # the reference runs with 1 crop layer
     crop_overlap_ratio: float = 512 / 1500
     min_mask_region_area: int = 100
+    # hard pre-NMS cap per level (top-K by predicted_iou): bounds the
+    # [N, H*W] NMS matmul memory when thresholds are disabled (the
+    # --full-random no-egress configuration keeps every proposal; with
+    # real weights the thresholds already bound N far below this)
+    max_proposals: int = 512
 
 
 def build_point_grid(n: int) -> np.ndarray:
@@ -427,6 +432,9 @@ class SAM1AutomaticMaskGenerator:
             if not entries:
                 out.append([])
                 continue
+            if cfg.max_proposals and len(entries) > cfg.max_proposals:
+                entries = sorted(entries, key=lambda e: -e["predicted_iou"]
+                                 )[:cfg.max_proposals]
             m = jnp.asarray(np.stack([e["segmentation"] for e in entries]))
             sc = jnp.asarray(np.array(
                 [e["predicted_iou"] for e in entries], np.float32))

@@ -17,10 +17,12 @@ smoke test without checkpoints (tests/test_quick_start_chain.py).
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import shutil
 import sys
+import time
 
 import numpy as np
 
@@ -44,9 +46,44 @@ def _tiny_vggt():
     return params, cfg
 
 
+def _random_sam_stack():
+    """Full-size SAM1 ViT-H + SAM2 Hiera-L with RANDOM weights and
+    thresholds disabled — the --full-random configuration: reference-
+    scale compute (encoder sizes, point grids, crop layers, propagation
+    passes) without network egress for the checkpoints. Masks are
+    meaningless; wall-clock and pipeline mechanics are real."""
+    import jax
+    import jax.numpy as jnp
+
+    from langscenex_tpu.models.sam1 import (SAM1, SAM1AMGConfig, SAM1Config,
+                                            SAM1AutomaticMaskGenerator)
+    from langscenex_tpu.models.sam2.model import (SAM2, SAM2Config,
+                                                  SAM2VideoPredictor,
+                                                  init_sam2_params)
+
+    m1 = SAM1(SAM1Config())
+    S = m1.cfg.img_size
+
+    def init_all(mdl, img):
+        feats = mdl.encode_image(img)
+        coords = jnp.zeros((1, 1, 2))
+        labels = jnp.ones((1, 1), jnp.int32)
+        return mdl.decode_points(feats, coords, labels, True)
+
+    p1 = SAM1.init(m1, jax.random.PRNGKey(0), jnp.zeros((1, 3, S, S)),
+                   method=init_all)
+    amg = SAM1AutomaticMaskGenerator(
+        m1, p1, SAM1AMGConfig(pred_iou_thresh=-1e9,
+                              stability_score_thresh=-1e9,
+                              min_mask_region_area=0))
+    m2 = SAM2(SAM2Config())
+    pred = SAM2VideoPredictor(m2, init_sam2_params(m2))
+    return amg, pred
+
+
 def run_autoseg(first_image: str, last_image: str, seg_dir: str,
                 tiny: bool, sam1_ckpt=None, sam2_ckpt=None,
-                level: str = "default") -> None:
+                level: str = "default", full_random: bool = False) -> None:
     """Stage-1a: SAM proposals + SAM2 alignment over the two keyframes ->
     flat-color seg keyframes + colors.npy (auto-mask-align.py:404-640)."""
     import jax
@@ -90,11 +127,15 @@ def run_autoseg(first_image: str, last_image: str, seg_dir: str,
         pred = SAM2VideoPredictor(model, params)
         acfg = MaskAlignConfig(detect_stride=1, max_objects=4,
                                new_obj_min_area=4, postnms_score=-1e9)
+    elif full_random:
+        amg, pred = _random_sam_stack()
+        acfg = MaskAlignConfig(level=level, new_obj_min_area=4,
+                               postnms_score=-1e9)
     else:
         if not (sam1_ckpt and sam2_ckpt):
             raise RuntimeError(
                 "auto-seg needs --sam1_checkpoint/--sam2_checkpoint "
-                "(converted via utils/convert) or --tiny")
+                "(converted via utils/convert), --tiny, or --full-random")
         from langscenex_tpu.autoseg.mask_align import build_from_checkpoints
         amg, pred = build_from_checkpoints(sam1_ckpt, sam2_ckpt)
         acfg = MaskAlignConfig(level=level)
@@ -144,6 +185,11 @@ def main(argv=None) -> int:
                    help="eval pose-fit iters (gaussian.eval.pose_optim_iter)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models end-to-end (smoke test)")
+    p.add_argument("--full-random", action="store_true", dest="full_random",
+                   help="FULL-SIZE models with random/zero weights: the "
+                        "reference-scale compute configuration for "
+                        "no-egress wall-clock records (outputs are "
+                        "meaningless; every stage does real-scale work)")
     args = p.parse_args(argv)
 
     from langscenex_tpu.pipeline import (FieldConstructionPipeline,
@@ -156,22 +202,36 @@ def main(argv=None) -> int:
     vggt_params = vggt_cfg = None
     if args.tiny:
         vggt_params, vggt_cfg = _tiny_vggt()
+    elif args.full_random:
+        # full-size VGGT-1B, random init (no-egress wall-clock config)
+        import jax
+        import jax.numpy as jnp
+        from langscenex_tpu.models.vggt import VGGT, VGGTConfig
+        vggt_cfg = VGGTConfig()
+        vggt_params = VGGT(vggt_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 3, 28, 28)))
+
+    stage_t = {}
+    t_all = time.perf_counter()
 
     # ---- stage 1: keyframes (seg via auto-seg, normal via get_normal) --
     if not args.skip_keyframes:
+        t0 = time.perf_counter()
         os.makedirs(rgb_key, exist_ok=True)
         shutil.copy(args.first_image, os.path.join(rgb_key, "0001.png"))
         shutil.copy(args.last_image, os.path.join(rgb_key, "0002.png"))
         log.info("auto-seg keyframes -> %s", seg_key)
         run_autoseg(args.first_image, args.last_image, seg_key,
                     args.tiny, args.sam1_checkpoint, args.sam2_checkpoint,
-                    args.level)
+                    args.level, full_random=args.full_random)
         log.info("normal keyframes -> %s/normal", dp)
         from langscenex_tpu.get_normal import generate_normals
         generate_normals(dp, params=vggt_params, cfg=vggt_cfg)
+        stage_t["1_keyframes"] = round(time.perf_counter() - t0, 1)
 
     # ---- stage 2: TriMap videos (rgb / seg / normal) -------------------
     if not args.skip_trimap:
+        t0 = time.perf_counter()
         from langscenex_tpu.video_inference import main as vi_main
         for kind, d in (("rgb", rgb_key), ("seg", seg_key),
                         ("normal", os.path.join(dp, "normal"))):
@@ -183,7 +243,9 @@ def main(argv=None) -> int:
                      "--output_path", out]
                     + (["--checkpoint", args.checkpoint]
                        if args.checkpoint else [])
-                    + (["--tiny"] if args.tiny else []))
+                    + (["--tiny"] if args.tiny else [])
+                    + (["--zero-weights"] if args.full_random else []))
+        stage_t["2_trimap_x3"] = round(time.perf_counter() - t0, 1)
 
     # ---- stages 3+4: preprocess + field construction -------------------
     if os.path.exists(os.path.join(seg_key, "colors.npy")):
@@ -199,6 +261,18 @@ def main(argv=None) -> int:
     pipe = FieldConstructionPipeline(paths, ae_epochs=args.ae_epochs)
     if args.pose_optim_iter is not None:
         pipe.cfg.render.pose_optim_iter = args.pose_optim_iter
+    if args.full_random:
+        pipe.vggt_params, pipe.vggt_cfg = vggt_params, vggt_cfg
+        from langscenex_tpu.models.clip_dense import (CLIPVisionConfig,
+                                                      CLIPVisionDense,
+                                                      ClipDenseExtractor)
+        import jax
+        import jax.numpy as jnp
+        ccfg = CLIPVisionConfig()             # full ViT-L/14 shape
+        cp = CLIPVisionDense(ccfg).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, ccfg.image_size, ccfg.image_size, 3)))["params"]
+        pipe.lang_extractor = ClipDenseExtractor(cp, ccfg)
     if args.tiny:
         pipe.vggt_params, pipe.vggt_cfg = vggt_params, vggt_cfg
         pipe.pose_target_wh = (96, 64)
@@ -214,14 +288,24 @@ def main(argv=None) -> int:
             jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))["params"]
         pipe.lang_extractor = ClipDenseExtractor(cp, ccfg, max_side=28)
     if not args.skip_train:
+        t0 = time.perf_counter()
         pipe.preprocess()
+        stage_t["3_preprocess"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
         pipe.construct_field(iterations=args.iterations)
+        stage_t["4_field"] = round(time.perf_counter() - t0, 1)
     if args.render:
+        t0 = time.perf_counter()
         pipe.render_result(load_iteration=args.iterations)
+        stage_t["5a_render"] = round(time.perf_counter() - t0, 1)
     if args.eval:
+        t0 = time.perf_counter()
         results = pipe.eval(load_iteration=args.iterations)
         for r in results:
             log.info("eval %s", r)
+        stage_t["5b_eval"] = round(time.perf_counter() - t0, 1)
+    stage_t["total"] = round(time.perf_counter() - t_all, 1)
+    log.info("stage wall-clock: %s", json.dumps(stage_t))
     return 0
 
 
