@@ -73,13 +73,16 @@ def _cumsum_rows(x):
     return x
 
 
-def _partition_rows(pkey, key, sid):
-    """Stable in-row partition: sort each row's 128 lanes ascending by
-    ``pkey`` (valid-flag-major, lane-minor), carrying (key, sid). All
-    rows run in parallel as whole-block ops; partners are lane rolls
-    (2j | 128 for j <= 64, so groups never cross the wraparound)."""
-    lane = _lane_iota(pkey.shape)
-    n = pkey.shape[-1]
+def _partition_rows(key, sid):
+    """In-row partition: sort each row's 128 lanes ascending BY KEY,
+    carrying sid — valid keys (< sent_min) land in the leading lanes.
+    Order within the valid prefix is arbitrary (the caller's global
+    sort re-orders everything anyway), which saves the third
+    lane-index stream a stable partition would need. All rows run in
+    parallel as whole-block ops; partners are lane rolls (2j | 128 for
+    j <= 64, so groups never cross the wraparound)."""
+    lane = _lane_iota(key.shape)
+    n = key.shape[-1]
     k = 2
     while k <= n:
         j = k // 2
@@ -93,12 +96,11 @@ def _partition_rows(pkey, key, sid):
                 bwd = pltpu.roll(x, j, len(x.shape) - 1)       # i -> i-j
                 return jnp.where(first, fwd, bwd)
 
-            pp = partner(pkey)
+            pp = partner(key)
             # bitwise, not where(bool, bool, bool): Mosaic cannot
             # truncate the i8 select result back to i1
-            swap = (take_min & (pp < pkey)) | (~take_min & (pp > pkey))
-            pkey = jnp.where(swap, pp, pkey)
-            key = jnp.where(swap, partner(key), key)
+            swap = (take_min & (pp < key)) | (~take_min & (pp > key))
+            key = jnp.where(swap, pp, key)
             sid = jnp.where(swap, partner(sid), sid)
             j //= 2
         k *= 2
@@ -157,10 +159,9 @@ def _compact_kernel(key_ref, sid_ref, okey_in, osid_in, okey_hbm, osid_hbm,
     off = jnp.remainder(local_start, LANES)
     qrow = local_start // LANES                          # [R, 1] <= OB_ROWS-2
 
-    # stable partition: valid lanes (in order) to the row front
+    # partition: valid lanes to the row front (by-key, order-free)
     lane = _lane_iota(key.shape)
-    pkey = lane + jnp.where(mask, 0, 16384)
-    pk, ps = _partition_rows(pkey, key, sid)
+    pk, ps = _partition_rows(key, sid)
 
     # pre-roll every row to its output lane phase (wrapped lanes feed
     # the row's SECOND destination row via the mhi mask)
@@ -252,10 +253,11 @@ def compact_pairs(key: jnp.ndarray, sid: jnp.ndarray, sent_min: int,
                   budget: int, sent_fill_key: int,
                   sent_fill_sid: int, interpret: bool = False):
     """Compact (key, sid) streams: valid slots (key < sent_min) move to
-    the front in stream order; the tail is (sent_fill_key,
-    sent_fill_sid). Requires the true valid count <= ``budget`` (the
-    binning budget mask guarantees it). Returns padded [~budget + window]
-    streams — callers sort and slice."""
+    the front — in ARBITRARY order (the in-row partition sorts by key;
+    callers sort the compacted stream anyway) — and the tail is
+    (sent_fill_key, sent_fill_sid). Requires the true valid count <=
+    ``budget`` (the binning budget mask guarantees it). Returns padded
+    [~budget + window] streams — callers sort and slice."""
     A = key.shape[0]
     ch = CH_ROWS * LANES
     A_pad = ((A + ch - 1) // ch) * ch

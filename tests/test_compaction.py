@@ -19,8 +19,14 @@ def _run(key, sid, budget):
     n = int(np.sum(key < SENT_MIN))
     assert n <= budget
     ck, cs = np.asarray(ck), np.asarray(cs)
-    np.testing.assert_array_equal(ck[:n], np.asarray(rk)[:n])
-    np.testing.assert_array_equal(cs[:n], np.asarray(rs)[:n])
+    rk, rs = np.asarray(rk), np.asarray(rs)
+    # the valid prefix is the same (key, sid) MULTISET (order within the
+    # prefix is arbitrary — the by-key in-row partition reorders; the
+    # caller's global sort is what fixes order)
+    a = np.stack([ck[:n], cs[:n]], 1)
+    b = np.stack([rk[:n], rs[:n]], 1)
+    np.testing.assert_array_equal(a[np.lexsort((a[:, 1], a[:, 0]))],
+                                  b[np.lexsort((b[:, 1], b[:, 0]))])
     # everything past the valid prefix is exactly the sentinel fill
     assert np.all(ck[n:] == FILL_K)
     assert np.all(cs[n:] == FILL_S)
