@@ -80,5 +80,35 @@ def main():
             print(f"{tag:40s}: FAIL {type(e).__name__}: {e}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--dual" not in sys.argv:
     main()
+
+
+def main2():
+    """Follow-up: dual-accumulator t3 variants (run with 'dual')."""
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, T, D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.bfloat16)
+
+    def mk(bq, bk, split):
+        return lambda q, k, v: flash_attention_nt(
+            q, k, v, block_q=bq, block_k=bk, split_kv=split)
+
+    _, ref = bench("A: nt bq=2048 bk=1024 (default)", mk(2048, 1024, False),
+                   q, k, v)
+    for tag, bq, bk, sp in (
+            ("I: bk=2048 dual-acc", 2048, 2048, "dual"),
+            ("J: bk=4096 dual-acc", 2048, 4096, "dual"),
+            ("K: bk=1024 dual-acc (nsub=2 halves)", 2048, 1024, "dual"),
+    ):
+        try:
+            bench(tag, mk(bq, bk, sp), q, k, v, ref=ref)
+        except Exception as e:
+            print(f"{tag:40s}: FAIL {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+
+
+if __name__ == "__main__" and "--dual" in sys.argv:
+    main2()

@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.ln_modulate import ln_modulate
+
 
 @dataclasses.dataclass(frozen=True)
 class TransformerConfig:
@@ -165,13 +167,27 @@ class LayerNormZero(nn.Module):
     def __call__(self, x, temb):
         emb = nn.Dense(6 * self.hidden, name="linear")(nn.silu(temb))
         shift, scale, gate, t_shift, t_scale, t_gate = jnp.split(emb, 6, -1)
-        norm = nn.LayerNorm(epsilon=1e-5, use_bias=True, use_scale=True,
-                            name="norm")
-        n = norm(x)
-        Tt = self.text_len
-        nt = n[:, :Tt] * (1 + t_scale[:, None]) + t_shift[:, None]
-        nv = n[:, Tt:] * (1 + scale[:, None]) + shift[:, None]
-        return jnp.concatenate([nt, nv], axis=1), gate[:, None], t_gate[:, None]
+        # fused LN + per-stream modulate (ops/ln_modulate.py): one
+        # read + one write instead of XLA's ~3x traffic through the
+        # norm/modulate boundary (measured ~400 ms of the 6.02 s B=2
+        # step, experiments/ab_mlp2.py). Params keep the nn.LayerNorm
+        # names (norm/{scale,bias}) for converter/checkpoint compat;
+        # math matches nn.LayerNorm(eps=1e-5, fast-variance, f32 stats).
+        g_ = _NormParams(self.hidden, name="norm")()
+        n_scale, n_bias = g_
+        out = ln_modulate(x, n_scale, n_bias, scale, shift,
+                          t_scale, t_shift, self.text_len)
+        return out, gate[:, None], t_gate[:, None]
+
+
+class _NormParams(nn.Module):
+    """Parameter shell matching nn.LayerNorm's tree (scale, bias)."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.hidden,)),
+                self.param("bias", nn.initializers.zeros, (self.hidden,)))
 
 
 def attention(q, k, v, dtype):
@@ -194,10 +210,14 @@ class JointAttention(nn.Module):
         cfg = self.cfg
         B, T, _ = x.shape
 
+        # NATIVE [B, T, H, D] layout end-to-end (round 5): qk-norm and
+        # rope are last-dim elementwise (layout-agnostic), and the
+        # bounded flash kernel reads/writes this layout directly
+        # (ops/flash_attention.attention_bthd) — no [B,H,T,D]
+        # transposes or pad copies over the ~218 MB head tensors.
         def heads(name):
             y = nn.Dense(cfg.hidden, name=name)(x)
-            return y.reshape(B, T, cfg.num_heads, cfg.head_dim
-                             ).transpose(0, 2, 1, 3)
+            return y.reshape(B, T, cfg.num_heads, cfg.head_dim)
 
         if cfg.fuse_qkv:
             # one [hidden, 3*hidden] matmul, columns interleaved per head
@@ -206,7 +226,7 @@ class JointAttention(nn.Module):
             D = cfg.head_dim
             y = nn.Dense(3 * cfg.hidden, name="to_qkv")(x)
             y = nn.with_logical_constraint(y, ("batch", None, "qkv"))
-            y = y.reshape(B, T, cfg.num_heads, 3 * D).transpose(0, 2, 1, 3)
+            y = y.reshape(B, T, cfg.num_heads, 3 * D)
             q, k, v = y[..., :D], y[..., D:2 * D], y[..., 2 * D:]
         else:
             q, k, v = heads("to_q"), heads("to_k"), heads("to_v")
@@ -215,12 +235,14 @@ class JointAttention(nn.Module):
         k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(k)
         if rope is not None:
             # two fused elementwise passes instead of slice + stride-2
-            # deinterleave + dynamic-update-slice per tensor
+            # deinterleave + dynamic-update-slice per tensor; tables
+            # broadcast over the H axis ([T, D] against [B, T, H, D])
             cos_full, sin_full = rope
-            q = apply_rope_fused(q, cos_full, sin_full)
-            k = apply_rope_fused(k, cos_full, sin_full)
-        out = attention(q, k, v, cfg.attn_dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.hidden)
+            q = apply_rope_fused(q, cos_full[:, None], sin_full[:, None])
+            k = apply_rope_fused(k, cos_full[:, None], sin_full[:, None])
+        from ...ops.flash_attention import attention_bthd
+        out = attention_bthd(q, k, v, dtype=cfg.attn_dtype)
+        out = out.reshape(B, T, cfg.hidden)
         out = nn.Dense(cfg.hidden, name="to_out")(out)
         # shard the head projection over the model axis
         return nn.with_logical_constraint(out, ("batch", None, "embed"))

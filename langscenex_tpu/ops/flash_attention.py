@@ -461,6 +461,12 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k, bounded_logits):
 
 def _flash_bwd_rule(scale, block_q, block_k, bounded_logits, res, do):
     q, k, v, out, l2 = res
+    return _flash_bwd_core(q, k, v, out, l2, do, scale, block_q, block_k,
+                           bounded_logits)
+
+
+def _flash_bwd_core(q, k, v, out, l2, do, scale, block_q, block_k,
+                    bounded_logits):
     bq = min(_BWD_BLOCK_Q or _BWD_BLOCK, block_q)
     bk = min(_BWD_BLOCK_K or _BWD_BLOCK, block_k)
     qp, kp, vp, (B, H, T, Tk, D, bq, bk, Tp, Tkp) = _fwd_prep(
@@ -864,6 +870,43 @@ def _attn_kernel_nomax_t2(k_ref, qT_ref, vT_ref, oT_ref, l2_ref, acc_ref):
         l2_ref[0] = jnp.log2(l)
 
 
+def _attn_kernel_nomax_t3(k_ref, qT_ref, vT_ref, oT_ref, l2_ref,
+                          acc0, acc1):
+    """_attn_kernel_nomax_t2 with TWO accumulators: PV(h) chains
+    acc += ... serially, so even with split halves the scheduler cannot
+    overlap half B's sT matmul with half A's PV — alternating the
+    accumulator breaks the chain (summed once at the end)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc0[...] = jnp.zeros_like(acc0)
+        acc1[...] = jnp.zeros_like(acc1)
+
+    qT = qT_ref[0]
+    n_sub = max(2, k_ref.shape[1] // 1024)
+    half = k_ref.shape[1] // n_sub
+    for h in range(n_sub):
+        k = k_ref[0, h * half:(h + 1) * half]
+        vT = vT_ref[0, :, h * half:(h + 1) * half]
+        sT = jax.lax.dot_general(
+            k, qT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pT = jnp.exp2(sT)
+        tgt = acc0 if h % 2 == 0 else acc1
+        tgt[...] = tgt[...] + jax.lax.dot_general(
+            vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        D = oT_ref.shape[1]
+        acc = acc0[...] + acc1[...]
+        l = jnp.maximum(acc[D:D + 1, :], 1e-30)
+        oT_ref[0] = (acc[:D, :] / l).astype(oT_ref.dtype)
+        l2_ref[0] = jnp.log2(l)
+
+
 def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float | None = None,
                        block_q: int = 1024, block_k: int = 1024,
@@ -912,9 +955,11 @@ def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k, split_kv=False):
     ).reshape(B * H, Dp8, Tkp)
 
     grid = (B * H, Tp // bq, Tkp // bk)
-    use_t2 = split_kv and bk % 2 == 0
+    use_t3 = split_kv == "dual" and bk % 2 == 0
+    use_t2 = split_kv is True and bk % 2 == 0
     oT, l2 = pl.pallas_call(
-        _attn_kernel_nomax_t2 if use_t2 else _attn_kernel_nomax_t,
+        _attn_kernel_nomax_t3 if use_t3
+        else (_attn_kernel_nomax_t2 if use_t2 else _attn_kernel_nomax_t),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
@@ -934,12 +979,164 @@ def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k, split_kv=False):
             jax.ShapeDtypeStruct((B * H, D, Tp), q.dtype),
             jax.ShapeDtypeStruct((B * H, 1, Tp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((Dp8, bq), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Dp8, bq), jnp.float32)] * (
+            2 if use_t3 else 1),
     )(kp, qT, vT)
     out = oT.reshape(B, H, D, Tp)[:, :, :, :T].transpose(0, 1, 3, 2)
     # l2 contract matches _flash_fwd_impl ([B*H, Tp] logsumexp2): the
     # shared Pallas backward consumes either forward's residuals.
     return out, l2.reshape(B * H, Tp)
+
+
+def _attn_kernel_nomax_t4(q_ref, k_ref, vT_ref, o_ref, l2_ref, qT_s, acc,
+                          *, scale2: float, Tk_tail: int):
+    """Native-layout bounded forward: q/k stream DIRECTLY from the
+    model's [B, T, H, D] tensors (BlockSpec picks the (b, h) plane), the
+    scale*log2e fold and the qT transpose happen once per q-block in
+    VMEM, and the output writes back in [B, T, H, D] — deleting the
+    XLA-side q/k pad+transpose passes and the output transpose
+    (~5 passes over the 218 MB head tensors per layer at B=2). kv-tail
+    garbage (non-divisible T reads) is neutralized by the exp2 clamp +
+    the vT mask row; q-tail garbage lands in output rows the caller
+    slices off."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        q = q_ref[0, :, 0, :]                          # [bq, D]
+        qT_s[...] = jax.lax.transpose(q, (1, 0)) * jnp.asarray(
+            scale2, q.dtype)                           # [D, bq]
+        acc[...] = jnp.zeros_like(acc)
+
+    k = k_ref[0, :, 0, :]                              # [bk, D]
+    if Tk_tail:
+        # non-divisible Tk: the tail block reads past the array — OOB
+        # rows can be ANYTHING incl. NaN (which survives clamps and
+        # poisons the PV accumulate through 0*NaN). Zero the k rows:
+        # exp2(0)=1 times the zero vT column contributes exactly 0.
+        # [bk, D] select — 16x narrower than masking pT would be.
+        row = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        k = jnp.where(kb * k.shape[0] + row < Tk_tail, k, 0)
+    vT = vT_ref[0]                                     # [Dp8, bk]
+    sT = jax.lax.dot_general(
+        k, qT_s[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [bk, bq]
+    pT = jnp.exp2(sT)
+    acc[...] = acc[...] + jax.lax.dot_general(
+        vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [Dp8, bq]
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        D = o_ref.shape[-1]
+        l = jnp.maximum(acc[D:D + 1, :], 1e-30)        # [1, bq]
+        oT = acc[:D, :] / l
+        o_ref[0, :, 0, :] = jax.lax.transpose(oT, (1, 0)
+                                              ).astype(o_ref.dtype)
+        l2_ref[0] = jnp.log2(l)
+
+
+def _flash_fwd_impl_bthd(q, k, v, scale, block_q, block_k):
+    """[B, T, H, D] native-layout bounded forward. Returns
+    (out [B, T, H, D], l2 [B*H, Tp])."""
+    B, T, H, D = q.shape
+    Tk = k.shape[1]
+    bq = min(block_q, T)
+    bk = min(block_k, Tk)
+    Tp = ((T + bq - 1) // bq) * bq
+    Tkp = ((Tk + bk - 1) // bk) * bk
+    Dp8 = ((D + 1 + 7) // 8) * 8
+    # the ONE staging pass: v -> [B*H, Dp8, Tkp] feature-major with the
+    # normalizer/valid-mask row (transpose-free PV needs feature-major v;
+    # an in-kernel per-step transpose re-runs per q-block and measured
+    # out as more VPU time than this pass)
+    vT = v.transpose(0, 2, 3, 1)                       # [B,H,D,Tk]
+    mask = (jnp.arange(Tkp) < Tk).astype(v.dtype)[None, None, None]
+    vT = jnp.concatenate([
+        jnp.pad(vT, ((0, 0), (0, 0), (0, 0), (0, Tkp - Tk))),
+        jnp.broadcast_to(mask, (B, H, 1, Tkp)),
+        jnp.zeros((B, H, Dp8 - D - 1, Tkp), v.dtype)], axis=2
+    ).reshape(B * H, Dp8, Tkp)
+
+    grid = (B * H, Tp // bq, Tkp // bk)
+    out, l2 = pl.pallas_call(
+        functools.partial(_attn_kernel_nomax_t4,
+                          scale2=float(scale * _LOG2E),
+                          Tk_tail=Tk if Tkp != Tk else 0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, D),
+                         lambda b, i, j, H=H: (b // H, i, b % H, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 1, D),
+                         lambda b, i, j, H=H: (b // H, j, b % H, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp8, bk), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, 1, D),
+                         lambda b, i, j, H=H: (b // H, i, b % H, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, H, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Tp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((D, bq), q.dtype),
+                        pltpu.VMEM((Dp8, bq), jnp.float32)],
+    )(q, k, vT)
+    return out[:, :T], l2.reshape(B * H, Tp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bthd(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_fwd_impl_bthd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_bthd_fwd_rule(q, k, v, scale, block_q, block_k):
+    out, l2 = _flash_fwd_impl_bthd(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, l2)
+
+
+def _flash_bthd_bwd_rule(scale, block_q, block_k, res, do):
+    # backward restages to the [B, H, T, D] layout and reuses the
+    # existing Pallas backward (training pays bigger costs elsewhere;
+    # only the inference forward needs the staging-free path)
+    q, k, v, out, l2 = res
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_bwd_core(tr(q), tr(k), tr(v), tr(out), l2,
+                                 tr(do), scale, block_q, block_k, True)
+    return tr(dq), tr(dk), tr(dv)
+
+
+_flash_bthd.defvjp(_flash_bthd_fwd_rule, _flash_bthd_bwd_rule)
+
+
+def attention_bthd(q, k, v, scale=None, dtype=jnp.bfloat16,
+                   block_q=None, block_k: int = 1024,
+                   flash_threshold: int = 2048):
+    """[B, T, H, D] attention dispatch: the native-layout bounded flash
+    kernel on TPU for long sequences; otherwise transpose and fall back
+    to attention_auto (CPU, short sequences, sequence-/tensor-parallel
+    contexts — those kernels keep the [B, H, T, D] contract)."""
+    T = q.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    if (jax.default_backend() == "tpu" and T >= flash_threshold
+            and _SEQ_PARALLEL is None and _TENSOR_PARALLEL is None):
+        bq = block_q if block_q is not None else NT_BLOCK_Q
+        out_dtype = q.dtype
+        return _flash_bthd(q.astype(dtype), k.astype(dtype),
+                           v.astype(dtype), float(scale), int(bq),
+                           int(block_k)).astype(out_dtype)
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    out = attention_auto(tr(q), tr(k), tr(v), scale=scale, dtype=dtype,
+                         flash_threshold=flash_threshold,
+                         bounded_logits=True)
+    return out.transpose(0, 2, 1, 3)
 
 
 _SEQ_PARALLEL = None

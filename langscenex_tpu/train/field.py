@@ -511,6 +511,15 @@ class GaussianFieldTrainer:
             import dataclasses as _dc
             rcfg = _dc.replace(
                 rcfg, max_pairs=max(8 * splats.capacity, 1 << 16))
+        # round 5: on TPU, compact the pair stream to the budget before
+        # the sort and use the bitonic engine (ops/compaction.py +
+        # ops/sort_engine.py — bit-identical lists, 14.4 -> 12.8 ms on
+        # the bench forward). CPU keeps the XLA sort (the interpret-mode
+        # kernels would dominate test time).
+        if (jax.default_backend() == "tpu" and rcfg.rank_key_sort
+                and not rcfg.key_only_sort and rcfg.max_pairs):
+            import dataclasses as _dc
+            rcfg = _dc.replace(rcfg, compact_sort=True, pallas_sort=True)
         self.rcfg = rcfg
         # HBM budget for adaptive pair-buffer growth (_grow_pair_caps)
         self.max_pairs_ceiling = 32 * 1024 * 1024
