@@ -297,7 +297,8 @@ def main():
 
     fps_rec = run("3dgs_render_fps_100k_720x480", bench_render, "fps",
                   "high", A100_NOMINAL_FPS)
-    fps_rec["exactness"] = "exact (k_overflowed=False, rank-key sort)"
+    fps_rec["exactness"] = ("exact (k_overflowed=False, rank-key + pallas "
+                            "compaction + bitonic sort engine)")
     fast_rec = run("3dgs_render_fps_truncating_cfg",
                    lambda: bench_render("fast"), "fps", "high",
                    A100_NOMINAL_FPS)
