@@ -989,51 +989,55 @@ def _flash_fwd_impl_t(q, k, v, scale, block_q, block_k, split_kv=False):
 
 
 def _attn_kernel_nomax_t4(q_ref, k_ref, vT_ref, o_ref, l2_ref, qT_s, acc,
-                          *, scale2: float, Tk_tail: int):
+                          *, scale2: float, Tk_tail: int, D: int):
     """Native-layout bounded forward: q/k stream DIRECTLY from the
-    model's [B, T, H, D] tensors (BlockSpec picks the (b, h) plane), the
-    scale*log2e fold and the qT transpose happen once per q-block in
-    VMEM, and the output writes back in [B, T, H, D] — deleting the
-    XLA-side q/k pad+transpose passes and the output transpose
-    (~5 passes over the 218 MB head tensors per layer at B=2). kv-tail
-    garbage (non-divisible T reads) is neutralized by the exp2 clamp +
-    the vT mask row; q-tail garbage lands in output rows the caller
-    slices off."""
+    model's [B, T, H*D] tensors as (1, bq, 2D) blocks — one head PAIR
+    per grid instance, 128-lane aligned (Mosaic rejects single-head
+    (.., 1, 64) blocks: the last two block dims must be 8/128-divisible
+    or full). The scale*log2e fold and the qT transposes happen once
+    per q-block in VMEM; the output writes back in [B, Tp, H*D] —
+    deleting the XLA-side q/k pad+transpose passes and the output
+    transpose (~5 passes over the ~218 MB head tensors per layer at
+    B=2). kv-tail garbage (non-divisible T reads) is zeroed on the k
+    rows (NaN survives clamps and would poison 0*NaN in the PV
+    accumulate); q-tail garbage lands in output rows the caller slices
+    off."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _():
-        q = q_ref[0, :, 0, :]                          # [bq, D]
-        qT_s[...] = jax.lax.transpose(q, (1, 0)) * jnp.asarray(
-            scale2, q.dtype)                           # [D, bq]
+        q2 = q_ref[0]                                  # [bq, 2D]
+        qT_s[...] = jax.lax.transpose(q2, (1, 0)) * jnp.asarray(
+            scale2, q2.dtype)                          # [2D, bq]
         acc[...] = jnp.zeros_like(acc)
 
-    k = k_ref[0, :, 0, :]                              # [bk, D]
+    k2 = k_ref[0]                                      # [bk, 2D]
     if Tk_tail:
-        # non-divisible Tk: the tail block reads past the array — OOB
-        # rows can be ANYTHING incl. NaN (which survives clamps and
-        # poisons the PV accumulate through 0*NaN). Zero the k rows:
-        # exp2(0)=1 times the zero vT column contributes exactly 0.
-        # [bk, D] select — 16x narrower than masking pT would be.
-        row = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
-        k = jnp.where(kb * k.shape[0] + row < Tk_tail, k, 0)
-    vT = vT_ref[0]                                     # [Dp8, bk]
-    sT = jax.lax.dot_general(
-        k, qT_s[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [bk, bq]
-    pT = jnp.exp2(sT)
-    acc[...] = acc[...] + jax.lax.dot_general(
-        vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [Dp8, bq]
+        row = jax.lax.broadcasted_iota(jnp.int32, k2.shape, 0)
+        k2 = jnp.where(kb * k2.shape[0] + row < Tk_tail, k2, 0)
+    Dp8 = acc.shape[0] // 2
+    for h in range(2):
+        k = k2[:, h * D:(h + 1) * D]                   # [bk, D]
+        qT = qT_s[h * D:(h + 1) * D]                   # [D, bq]
+        vT = vT_ref[h]                                 # [Dp8, bk]
+        sT = jax.lax.dot_general(
+            k, qT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [bk, bq]
+        pT = jnp.exp2(sT)
+        a = acc[h * Dp8:(h + 1) * Dp8]
+        acc[h * Dp8:(h + 1) * Dp8] = a + jax.lax.dot_general(
+            vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [Dp8, bq]
 
     @pl.when(kb == pl.num_programs(2) - 1)
     def _():
-        D = o_ref.shape[-1]
-        l = jnp.maximum(acc[D:D + 1, :], 1e-30)        # [1, bq]
-        oT = acc[:D, :] / l
-        o_ref[0, :, 0, :] = jax.lax.transpose(oT, (1, 0)
-                                              ).astype(o_ref.dtype)
-        l2_ref[0] = jnp.log2(l)
+        outs = []
+        for h in range(2):
+            a = acc[h * Dp8:(h + 1) * Dp8]
+            l = jnp.maximum(a[D:D + 1, :], 1e-30)      # [1, bq]
+            outs.append(jax.lax.transpose(a[:D, :] / l, (1, 0)))
+            l2_ref[h] = jnp.log2(l)
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 def _flash_fwd_impl_bthd(q, k, v, scale, block_q, block_k):
@@ -1041,6 +1045,8 @@ def _flash_fwd_impl_bthd(q, k, v, scale, block_q, block_k):
     (out [B, T, H, D], l2 [B*H, Tp])."""
     B, T, H, D = q.shape
     Tk = k.shape[1]
+    assert H % 2 == 0, "head-pair blocking needs even H"
+    assert 2 * D % 128 == 0, "head-pair blocks must be 128-lane aligned"
     bq = min(block_q, T)
     bk = min(block_k, Tk)
     Tp = ((T + bq - 1) // bq) * bq
@@ -1058,37 +1064,40 @@ def _flash_fwd_impl_bthd(q, k, v, scale, block_q, block_k):
         jnp.zeros((B, H, Dp8 - D - 1, Tkp), v.dtype)], axis=2
     ).reshape(B * H, Dp8, Tkp)
 
-    grid = (B * H, Tp // bq, Tkp // bk)
+    q2 = q.reshape(B, T, H * D)
+    k2 = k.reshape(B, T, H * D)
+    G = H // 2                                         # head pairs
+    grid = (B * G, Tp // bq, Tkp // bk)
     out, l2 = pl.pallas_call(
         functools.partial(_attn_kernel_nomax_t4,
                           scale2=float(scale * _LOG2E),
-                          Tk_tail=Tk if Tkp != Tk else 0),
+                          Tk_tail=Tk if Tkp != Tk else 0, D=D),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, 1, D),
-                         lambda b, i, j, H=H: (b // H, i, b % H, 0),
+            pl.BlockSpec((1, bq, 2 * D),
+                         lambda g, i, j, G=G: (g // G, i, g % G),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, 1, D),
-                         lambda b, i, j, H=H: (b // H, j, b % H, 0),
+            pl.BlockSpec((1, bk, 2 * D),
+                         lambda g, i, j, G=G: (g // G, j, g % G),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dp8, bk), lambda b, i, j: (b, 0, j),
+            pl.BlockSpec((2, Dp8, bk), lambda g, i, j: (g, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, 1, D),
-                         lambda b, i, j, H=H: (b // H, i, b % H, 0),
+            pl.BlockSpec((1, bq, 2 * D),
+                         lambda g, i, j, G=G: (g // G, i, g % G),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((2, 1, bq), lambda g, i, j: (g, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Tp, H, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Tp, H * D), q.dtype),
             jax.ShapeDtypeStruct((B * H, 1, Tp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((D, bq), q.dtype),
-                        pltpu.VMEM((Dp8, bq), jnp.float32)],
-    )(q, k, vT)
-    return out[:, :T], l2.reshape(B * H, Tp)
+        scratch_shapes=[pltpu.VMEM((2 * D, bq), q.dtype),
+                        pltpu.VMEM((2 * Dp8, bq), jnp.float32)],
+    )(q2, k2, vT)
+    return (out[:, :T].reshape(B, T, H, D), l2.reshape(B * H, Tp))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

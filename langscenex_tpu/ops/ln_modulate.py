@@ -30,6 +30,7 @@ EPS = 1e-5
 
 def _lnz_kernel(x_ref, gamma_ref, beta_ref, sc_ref, sh_ref, tsc_ref,
                 tsh_ref, y_ref, *, text_len: int, bt: int):
+    b = pl.program_id(0)
     t = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)                   # [bt, H]
     H = x.shape[-1]
@@ -39,20 +40,34 @@ def _lnz_kernel(x_ref, gamma_ref, beta_ref, sc_ref, sh_ref, tsc_ref,
     n = (x - s1) * inv                                 # [bt, H]
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + t * bt
-    is_text = row < text_len                           # [bt, 1]
-    sc = jnp.where(is_text, tsc_ref[0], sc_ref[0])     # [bt, H]
-    sh = jnp.where(is_text, tsh_ref[0], sh_ref[0])
-    one_sc = 1.0 + sc.astype(jnp.float32)
+    # arithmetic blend, not where([bt,1] bool, [1,H], [1,H]): the i1
+    # broadcast trips a Mosaic relayout bug ("non-singleton logical
+    # dimension is replicated in destination but not in source")
+    m = (row < text_len).astype(jnp.float32)           # [bt, 1]
+    # per-batch mod vectors ride as FULL [B, H] refs (a (1, H) block of
+    # a [B>1, H] array violates Mosaic's last-two-dims rule), and the
+    # row is picked by a static-slice scalar blend (a dynamic sublane
+    # load of a bf16 [B, H] ref fails Mosaic's tile-alignment prover)
+    def pick(ref):
+        rows = ref[...].astype(jnp.float32)            # [B, H]
+        out = rows[0:1]
+        for i in range(1, rows.shape[0]):
+            w = (b == i).astype(jnp.float32)
+            out = out * (1.0 - w) + rows[i:i + 1] * w
+        return out                                     # [1, H]
+
+    sc = m * pick(tsc_ref) + (1.0 - m) * pick(sc_ref)  # [bt, H]
+    sh = m * pick(tsh_ref) + (1.0 - m) * pick(sh_ref)
+    one_sc = 1.0 + sc
     A = gamma_ref[0].astype(jnp.float32) * one_sc
-    C = (beta_ref[0].astype(jnp.float32) * one_sc
-         + sh.astype(jnp.float32))
+    C = beta_ref[0].astype(jnp.float32) * one_sc + sh
     y_ref[0] = (n * A + C).astype(y_ref.dtype)
 
 
 def _lnz_fwd_pallas(x, gamma, beta, sc, sh, tsc, tsh, text_len: int,
                     interpret: bool = False):
     B, T, H = x.shape
-    bt = 512
+    bt = 128   # f32 intermediates: bt=512 blew the 16 MB scoped vmem
     Tp = ((T + bt - 1) // bt) * bt
     if Tp != T:
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
@@ -60,7 +75,7 @@ def _lnz_fwd_pallas(x, gamma, beta, sc, sh, tsc, tsh, text_len: int,
     b2 = jnp.broadcast_to(beta[None], (1, H))
     vec = pl.BlockSpec((1, H), lambda b, t: (0, 0),
                        memory_space=pltpu.VMEM)
-    bvec = pl.BlockSpec((1, H), lambda b, t: (b, 0),
+    bvec = pl.BlockSpec((B, H), lambda b, t: (0, 0),
                         memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         functools.partial(_lnz_kernel, text_len=text_len, bt=bt),
