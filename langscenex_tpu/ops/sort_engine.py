@@ -65,9 +65,11 @@ def _partner(x, j):
                             pltpu.roll(x, jr, ax - 1))
 
 
-def _ce(key, sid, j, k, base, S):
+def _ce(key, sid, j, k, base, S, tie_sid=False):
     """One bitonic compare-exchange step (k, j) on a [R, 128] block
-    whose first element has global index ``base`` (a multiple of S)."""
+    whose first element has global index ``base`` (a multiple of S).
+    ``tie_sid``: order equal keys by sid (lexicographic) — matches
+    lax.sort's stable id order when sids are the original indices."""
     first, pk = _partner(key, j)
     _, ps = _partner(sid, j)
     if k < LANES:
@@ -77,22 +79,30 @@ def _ce(key, sid, j, k, base, S):
     else:
         asc = (base & k) == 0                      # scalar, broadcasts
     take_min = first == asc
-    swap = (take_min & (pk < key)) | (~take_min & (pk > key))
+    lt = pk < key
+    gt = pk > key
+    if tie_sid:
+        eq = pk == key
+        lt = lt | (eq & (ps < sid))
+        gt = gt | (eq & (ps > sid))
+    swap = (take_min & lt) | (~take_min & gt)
     return jnp.where(swap, pk, key), jnp.where(swap, ps, sid)
 
 
-def _local_kernel(key_ref, sid_ref, okey_ref, osid_ref, *, S, stages):
+def _local_kernel(key_ref, sid_ref, okey_ref, osid_ref, *, S, stages,
+                  tie_sid=False):
     """Run the (k, j) steps of ``stages`` entirely in VMEM."""
     base = pl.program_id(0) * S
     key = key_ref[0]
     sid = sid_ref[0]
     for (k, j) in stages:
-        key, sid = _ce(key, sid, j, k, base, S)
+        key, sid = _ce(key, sid, j, k, base, S, tie_sid)
     okey_ref[0] = key
     osid_ref[0] = sid
 
 
-def _cross_kernel(key_ref, sid_ref, okey_ref, osid_ref, *, k, j, S):
+def _cross_kernel(key_ref, sid_ref, okey_ref, osid_ref, *, k, j, S,
+                  tie_sid=False):
     """Compare-exchange the two adjacent [S] halves of a partner pair
     at stride j (axis-1 of the [N/(2j), 2, j] view selects the pair;
     the grid's second axis walks the j/S sub-blocks)."""
@@ -102,7 +112,13 @@ def _cross_kernel(key_ref, sid_ref, okey_ref, osid_ref, *, k, j, S):
     a_s = sid_ref[0, 0]
     b_s = sid_ref[0, 1]
     asc = ((o * 2 * j) & k) == 0                   # scalar per pair
-    swap = (asc & (b_k < a_k)) | (jnp.logical_not(asc) & (b_k > a_k))
+    lt = b_k < a_k
+    gt = b_k > a_k
+    if tie_sid:
+        eq = b_k == a_k
+        lt = lt | (eq & (b_s < a_s))
+        gt = gt | (eq & (b_s > a_s))
+    swap = (asc & lt) | (jnp.logical_not(asc) & gt)
     okey_ref[0, 0] = jnp.where(swap, b_k, a_k)
     okey_ref[0, 1] = jnp.where(swap, a_k, b_k)
     osid_ref[0, 0] = jnp.where(swap, b_s, a_s)
@@ -129,7 +145,8 @@ def _stages_local(S):
 
 def bitonic_sort_pairs(key: jnp.ndarray, sid: jnp.ndarray,
                        interpret: bool = False,
-                       s_block: int = S_BLOCK):
+                       s_block: int = S_BLOCK,
+                       tie_sid: bool = False):
     """Sort (key, sid) by key ascending. len must be a power of two
     >= 1024. Equal keys: arbitrary payload order (see module
     docstring for when that is observably identical to lax.sort)."""
@@ -143,7 +160,8 @@ def bitonic_sort_pairs(key: jnp.ndarray, sid: jnp.ndarray,
         spec = pl.BlockSpec((1, R, LANES), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_local_kernel, S=S, stages=stages),
+            functools.partial(_local_kernel, S=S, stages=stages,
+                              tie_sid=tie_sid),
             grid=(M,),
             in_specs=[spec, spec],
             out_specs=[spec, spec],
@@ -159,7 +177,8 @@ def bitonic_sort_pairs(key: jnp.ndarray, sid: jnp.ndarray,
                             memory_space=pltpu.VMEM)
         shape = (outer, 2, s * R, LANES)
         kk, ss = pl.pallas_call(
-            functools.partial(_cross_kernel, k=k, j=j, S=S),
+            functools.partial(_cross_kernel, k=k, j=j, S=S,
+                              tie_sid=tie_sid),
             grid=(outer, s),
             in_specs=[spec, spec],
             out_specs=[spec, spec],

@@ -67,3 +67,19 @@ def test_presorted_and_reversed():
     sid = np.arange(N, dtype=np.int32) + 7
     _check(key, sid, s_block=1024)
     _check(key[::-1].copy(), sid, s_block=1024)
+
+
+def test_tie_sid_matches_stable_sort():
+    """tie_sid=True == lax.sort's stable order on duplicate keys."""
+    rng = np.random.default_rng(9)
+    N = 4096
+    key = rng.integers(0, 50, N).astype(np.int32)     # heavy duplicates
+    sid = np.arange(N, dtype=np.int32)
+    rngp = rng.permutation(N)
+    key, sid = key[rngp], sid[rngp]
+    kk, ss = bitonic_sort_pairs(jnp.asarray(key), jnp.asarray(sid),
+                                interpret=True, s_block=1024,
+                                tie_sid=True)
+    rk, rs = jax.lax.sort((jnp.asarray(key), jnp.asarray(sid)), num_keys=2)
+    np.testing.assert_array_equal(np.asarray(kk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(rs))
