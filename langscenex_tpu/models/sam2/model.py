@@ -234,7 +234,12 @@ class SAM2VideoPredictor:
         self.max_obj_ptrs = cfg.memory.max_obj_ptrs
         self.mem_dim = cfg.memory.mem_dim
         self.C = cfg.decoder.dim
-        self._encode = jax.jit(partial(model.apply, params,
+        # params as a jit ARGUMENT, not a closed-over constant: the
+        # Hiera-L tree (~900 MB f32) would lower INTO the remote-compile
+        # request and trip the tunnel's HTTP 413 body limit (the same
+        # class as video_inference r3 and the LoRA step r4; hit here by
+        # the first full-size --full-random quick_start run)
+        self._encode = jax.jit(partial(model.apply,
                                        method=SAM2.forward_image))
         self._cond_step = jax.jit(self._cond_step_impl)
         self._track_step = jax.jit(self._track_step_impl,
@@ -284,7 +289,8 @@ class SAM2VideoPredictor:
             mask.astype(np.float32)
 
     def _frame_feats(self, state, t):
-        out = self._encode(jnp.asarray(state["frames"][t:t + 1]))
+        out = self._encode(self.params,
+                           jnp.asarray(state["frames"][t:t + 1]))
         fpn = out["backbone_fpn"]
         pos = out["vision_pos_enc"][-1]          # [h, w, C]
         if self._mem_pos is None:
