@@ -230,6 +230,16 @@ def main(argv=None) -> int:
         stage_t["1_keyframes"] = round(time.perf_counter() - t0, 1)
 
     # ---- stage 2: TriMap videos (rgb / seg / normal) -------------------
+    if args.full_random and not args.skip_trimap:
+        # inter-stage HBM management (the reference gets this from
+        # sequential CPU offload): drop the 4 GB VGGT tree before the
+        # 11 GB DiT stage — the first full-scale run OOM'd at the VAE
+        # keyframe encode with it resident. Random weights re-init
+        # device-side afterwards (same key -> same tree), avoiding a
+        # multi-GB host->device upload over the tunnel.
+        vggt_params = None
+        import gc
+        gc.collect()
     if not args.skip_trimap:
         t0 = time.perf_counter()
         from langscenex_tpu.video_inference import main as vi_main
@@ -262,6 +272,12 @@ def main(argv=None) -> int:
     if args.pose_optim_iter is not None:
         pipe.cfg.render.pose_optim_iter = args.pose_optim_iter
     if args.full_random:
+        if vggt_params is None:                  # re-init post-trimap
+            import jax
+            import jax.numpy as jnp
+            from langscenex_tpu.models.vggt import VGGT
+            vggt_params = VGGT(vggt_cfg).init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 1, 3, 28, 28)))
         pipe.vggt_params, pipe.vggt_cfg = vggt_params, vggt_cfg
         from langscenex_tpu.models.clip_dense import (CLIPVisionConfig,
                                                       CLIPVisionDense,
