@@ -311,6 +311,35 @@ def _enumerate_two_tier(tt, rect_min, rect_w, depth, sid_base, K1, K2, B,
             k_overflowed, n_big, demand_f)
 
 
+def _depth_perm(dkey: jnp.ndarray, sid_base: jnp.ndarray,
+                use_engine: bool, interpret: bool = False):
+    """Depth-order permutation (rank -> splat id), stable on ties.
+
+    ``use_engine``: ride the bitonic engine (ops/sort_engine.py) —
+    IEEE non-negative floats are order-isomorphic to their int32 bit
+    patterns (depths are > 0 past the frustum cull; culled rows carry
+    +inf = 0x7f800000), so bitcast keys sort identically, and
+    tie_sid=True keeps lax.sort's stable id order on equal depths (so
+    ranks, and therefore the composited output, stay bit-identical on
+    scenes with f32-quantized depth collisions)."""
+    P = dkey.shape[0]
+    if not use_engine:
+        _, perm = jax.lax.sort((dkey, sid_base), num_keys=1)
+        return perm
+    from .sort_engine import bitonic_sort_pairs
+    np2 = max(1024, 1 << (P - 1).bit_length())
+    ik = jax.lax.bitcast_convert_type(dkey, jnp.int32)
+    if np2 != P:
+        ik = jnp.concatenate([ik, jnp.full(
+            (np2 - P,), jnp.int32(2 ** 31 - 1))])
+        sb = jnp.concatenate([sid_base, jnp.full(
+            (np2 - P,), jnp.int32(P))])
+    else:
+        sb = sid_base
+    _, perm = bitonic_sort_pairs(ik, sb, tie_sid=True, interpret=interpret)
+    return perm[:P]
+
+
 def _tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int):
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
@@ -403,29 +432,9 @@ def build_tile_lists(proc: ProcessedSplats, grid_x: int, grid_y: int,
         # real ranks stay dense (irrelevant to order — their pairs are
         # sentinel-keyed anyway).
         dkey = jnp.where(tt > 0, depth, jnp.inf)
-        if compact and pallas_sort and jax.default_backend() == "tpu":
-            # ride the bitonic engine for the [P] rank sort too: IEEE
-            # non-negative floats are order-isomorphic to their int32
-            # bit patterns (depths are > 0 past the frustum cull; culled
-            # rows carry +inf = 0x7f800000), so bitcast keys sort
-            # identically. tie_sid=True orders equal depths by id —
-            # exactly lax.sort's stable order, so ranks (and therefore
-            # the composited output) stay bit-identical even on scenes
-            # with f32-quantized depth collisions.
-            from .sort_engine import bitonic_sort_pairs
-            np2 = max(1024, 1 << (P - 1).bit_length())
-            ik = jax.lax.bitcast_convert_type(dkey, jnp.int32)
-            if np2 != P:
-                ik = jnp.concatenate([ik, jnp.full(
-                    (np2 - P,), jnp.int32(2 ** 31 - 1))])
-                sb = jnp.concatenate([sid_base, jnp.full(
-                    (np2 - P,), jnp.int32(P))])
-            else:
-                sb = sid_base
-            _, perm = bitonic_sort_pairs(ik, sb, tie_sid=True)
-            perm = perm[:P]
-        else:
-            _, perm = jax.lax.sort((dkey, sid_base), num_keys=1)
+        perm = _depth_perm(dkey, sid_base,
+                           use_engine=compact and pallas_sort
+                           and jax.default_backend() == "tpu")
         rank_of_id = jnp.zeros((P,), jnp.int32).at[perm].set(sid_base)
         depth_key = rank_of_id                          # int32 [P]
     else:

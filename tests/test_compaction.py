@@ -195,3 +195,22 @@ def test_binning_pallas_sort_bit_identical():
                                   np.asarray(b.tile_starts))
     np.testing.assert_array_equal(np.asarray(a.tile_counts),
                                   np.asarray(b.tile_counts))
+
+
+def test_depth_perm_engine_matches_stable_sort():
+    """The engine-backed depth permutation (bitcast f32 keys + tie_sid)
+    == lax.sort's stable order, INCLUDING duplicate depths and culled
+    +inf rows — the TPU-only rank path, driven via interpret mode."""
+    from langscenex_tpu.ops.binning import _depth_perm
+
+    rng = np.random.default_rng(11)
+    P = 3000
+    depth = rng.uniform(2.0, 10.0, P).astype(np.float32)
+    depth[rng.integers(0, P, 300)] = np.float32(5.25)   # forced ties
+    dkey = np.where(rng.uniform(size=P) < 0.1,
+                    np.float32(np.inf), depth)          # culled rows
+    sid = np.arange(P, dtype=np.int32)
+    a = _depth_perm(jnp.asarray(dkey), jnp.asarray(sid), use_engine=False)
+    b = _depth_perm(jnp.asarray(dkey), jnp.asarray(sid), use_engine=True,
+                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
